@@ -1,0 +1,109 @@
+"""Config system: dataclass defaults + YAML override with type coercion.
+
+Mirrors the reference's argparse-defaults-plus-YAML pattern
+(exp-1-debias-gender/1-main-debias.py:327-644, YAML merge at :632-638 where
+each YAML value is coerced through the argparse default's type) and
+opensphere's hierarchical YAML with `base` inheritance
+(opensphere/utils.py:32-52). Here the single source of truth is a frozen
+dataclass; YAML/CLI overrides are coerced to the field's declared type, and
+unknown keys are an error (the reference silently accepts them — a footgun
+we do not reproduce).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import typing
+from pathlib import Path
+from typing import Any, Type, TypeVar
+
+import yaml
+
+T = TypeVar("T")
+
+
+def _coerce(value: Any, annot: Any) -> Any:
+    origin = typing.get_origin(annot)
+    if origin is typing.Union:  # Optional[...]
+        args = [a for a in typing.get_args(annot) if a is not type(None)]
+        if value is None:
+            return None
+        return _coerce(value, args[0])
+    if origin in (list, tuple):
+        (item_t,) = typing.get_args(annot)[:1] or (str,)
+        seq = [_coerce(v, item_t) for v in value]
+        return tuple(seq) if origin is tuple else seq
+    if annot is bool:
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if annot in (int, float, str):
+        return annot(value)
+    if dataclasses.is_dataclass(annot) and isinstance(value, dict):
+        return from_dict(annot, value)
+    return value
+
+
+def from_dict(cls: Type[T], data: dict[str, Any]) -> T:
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {k: _coerce(v, fields[k].type_resolved if hasattr(fields[k], "type_resolved") else _resolve(cls, fields[k])) for k, v in data.items()}
+    return cls(**kwargs)
+
+
+def _resolve(cls: Type, field: dataclasses.Field) -> Any:
+    hints = typing.get_type_hints(cls)
+    return hints[field.name]
+
+
+def merge(config: T, overrides: dict[str, Any]) -> T:
+    """Return a copy of `config` with overrides applied (type-coerced)."""
+    updates = {}
+    for key, value in overrides.items():
+        annot = _resolve(type(config), {f.name: f for f in dataclasses.fields(config)}[key])
+        current = getattr(config, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            updates[key] = merge(current, value)
+        else:
+            updates[key] = _coerce(value, annot)
+    return dataclasses.replace(config, **updates)
+
+
+def load_yaml(config: T, path: str | Path) -> T:
+    """Apply a YAML override file on top of dataclass defaults
+    (reference exp-1:632-638 semantics, with strict unknown-key checking)."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return merge(config, data)
+
+
+def to_dict(config: Any) -> dict[str, Any]:
+    return dataclasses.asdict(config)
+
+
+def cli_parse(cls: Type[T], argv: list[str] | None = None) -> T:
+    """argparse front-end: `--config file.yaml` plus `--key value` overrides
+    for any scalar dataclass field (parity with the reference CLIs)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    hints = typing.get_type_hints(cls)
+    for f in dataclasses.fields(cls):
+        annot = hints[f.name]
+        if dataclasses.is_dataclass(annot):
+            continue
+        parser.add_argument(f"--{f.name}", type=str, default=None)
+    ns = parser.parse_args(argv)
+    cfg = cls()
+    if ns.config:
+        cfg = load_yaml(cfg, ns.config)
+    overrides = {
+        k: v
+        for k, v in vars(ns).items()
+        if k != "config" and v is not None
+    }
+    if overrides:
+        cfg = merge(cfg, overrides)
+    return cfg
