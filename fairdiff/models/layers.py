@@ -1,0 +1,124 @@
+"""Shared neural-net building blocks (Flax linen).
+
+One attention implementation serves every transformer in the zoo (CLIP
+text/vision, DINOv2, SD U-Net): a fused-friendly einsum formulation with
+fp32 softmax that XLA maps onto the MXU, optionally swapped for the Pallas
+flash-attention kernel in fairdiff.ops when sequence length and head dims
+are TPU-tile friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP's activation (matches transformers' `quick_gelu`)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "quick_gelu": quick_gelu,
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+    "hardswish": jax.nn.hard_swish,
+}
+
+
+def dot_product_attention(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,  # [B, T, H, D]
+    v: jax.Array,  # [B, T, H, D]
+    bias: Optional[jax.Array] = None,  # additive, broadcastable to [B,H,S,T]
+    *,
+    use_flash: bool = False,
+) -> jax.Array:
+    """Multi-head attention core. fp32 softmax regardless of input dtype
+    (the TPU analogue of the reference's fp16-with-fp32-softmax numerics)."""
+    if use_flash and bias is None:
+        from fairdiff.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    orig_dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Pre-projection MHA with separate q/k/v/out kernels.
+
+    Parameter names (q_proj/k_proj/v_proj/out_proj) deliberately match the
+    HF transformers naming so weight conversion is mechanical.
+    """
+
+    embed_dim: int
+    num_heads: int
+    out_dim: Optional[int] = None
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jax.Array,  # [B, S, C]
+        context: Optional[jax.Array] = None,  # [B, T, Cc] for cross-attn
+        bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        context = hidden if context is None else context
+        head_dim = self.embed_dim // self.num_heads
+        dense = lambda name, feats: nn.Dense(
+            feats, use_bias=self.use_bias, dtype=self.dtype, name=name
+        )
+        q = dense("q_proj", self.embed_dim)(hidden)
+        k = dense("k_proj", self.embed_dim)(context)
+        v = dense("v_proj", self.embed_dim)(context)
+
+        B, S, _ = q.shape
+        T = k.shape[1]
+        q = q.reshape(B, S, self.num_heads, head_dim)
+        k = k.reshape(B, T, self.num_heads, head_dim)
+        v = v.reshape(B, T, self.num_heads, head_dim)
+
+        out = dot_product_attention(q, k, v, bias, use_flash=self.use_flash)
+        out = out.reshape(B, S, self.embed_dim)
+        return dense("out_proj", self.out_dim or self.embed_dim)(out)
+
+
+class TransformerMLP(nn.Module):
+    """fc1 -> act -> fc2 (HF naming)."""
+
+    hidden_dim: int
+    out_dim: int
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = ACTIVATIONS[self.activation](x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+
+
+def make_causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal bias [1, 1, S, S]."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), jnp.finfo(dtype).min), k=1)
+    return mask[None, None].astype(dtype)
+
+
+def expand_padding_mask(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, T] {0,1} -> additive bias [B, 1, 1, T] (HF `_expand_mask`,
+    replicated by the reference's custom CLIP forward at
+    exp-2-debias-gender-token/1-main-debias.py:357-448)."""
+    bias = (1.0 - attention_mask.astype(dtype)) * jnp.finfo(dtype).min
+    return bias[:, None, None, :]

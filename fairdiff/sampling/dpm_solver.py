@@ -1,0 +1,230 @@
+"""DPM-Solver++ (2M) multistep scheduler as pure functions + lax.scan.
+
+Re-design of the diffusers `DPMSolverMultistepScheduler` (v0.19.3 semantics)
+the reference samples with (exp-1-debias-gender/1-main-debias.py:738-741,
+loops at :1038-1057 and :1111-1131). The torch original is a stateful object
+mutating `model_outputs`/`lower_order_nums`; here the whole trajectory is a
+`lax.scan` over precomputed per-step coefficient arrays, so the 19–30-step
+chain compiles to a single fused XLA loop and is trivially differentiable.
+
+Scheduler math (betas -> lambda/alpha/sigma tables, linspace timestep grid,
+2M midpoint update, lower_order_final) matches the reference configuration:
+scaled_linear betas in [0.00085, 0.012], 1000 train steps, epsilon
+prediction, algorithm dpmsolver++.
+
+The "adjusted direct finetuning" gradient treatment of the reference
+(per-step latent detach at :1115 and the `register_hook` rescale of the
+guided noise prediction at :1105-1129) appears here as `stop_gradient` on
+the UNet input plus a `custom_vjp` rescale — see `scale_grad` and the
+`grad_mode` flag in `denoise`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    solver_order: int = 2
+    guidance_scale: float = 7.5
+    lower_order_final: bool = True
+
+    @classmethod
+    def sd15(cls) -> "DPMSolverConfig":
+        return cls()
+
+
+class Schedule(NamedTuple):
+    """Per-train-timestep tables (length num_train_timesteps), fp64->fp32."""
+
+    alphas_cumprod: np.ndarray
+    alpha_t: np.ndarray  # sqrt(acp)
+    sigma_t: np.ndarray  # sqrt(1-acp)
+    lambda_t: np.ndarray  # log(alpha/sigma)
+    alphas: np.ndarray  # 1-beta
+
+
+def make_schedule(cfg: DPMSolverConfig = DPMSolverConfig()) -> Schedule:
+    betas = (
+        np.linspace(
+            cfg.beta_start**0.5, cfg.beta_end**0.5, cfg.num_train_timesteps,
+            dtype=np.float64,
+        )
+        ** 2
+    )
+    alphas = 1.0 - betas
+    acp = np.cumprod(alphas)
+    alpha_t = np.sqrt(acp)
+    sigma_t = np.sqrt(1.0 - acp)
+    lambda_t = np.log(alpha_t) - np.log(sigma_t)
+    return Schedule(
+        acp.astype(np.float32),
+        alpha_t.astype(np.float32),
+        sigma_t.astype(np.float32),
+        lambda_t.astype(np.float32),
+        alphas.astype(np.float32),
+    )
+
+
+def timestep_grid(cfg: DPMSolverConfig, num_inference_steps: int) -> np.ndarray:
+    """diffusers linspace grid: round(linspace(0, T-1, N+1))[::-1][:-1]."""
+    ts = (
+        np.linspace(0, cfg.num_train_timesteps - 1, num_inference_steps + 1)
+        .round()[::-1][:-1]
+        .astype(np.int64)
+    )
+    return ts
+
+
+class StepBundle(NamedTuple):
+    """Static per-inference-step coefficient arrays for the scan."""
+
+    t: jax.Array  # [N] int32 — UNet conditioning timestep
+    sigma_cur: jax.Array
+    alpha_cur: jax.Array
+    lambda_cur: jax.Array
+    sigma_next: jax.Array
+    alpha_next: jax.Array
+    lambda_next: jax.Array
+    lambda_prev: jax.Array  # lambda at previous grid point (0 at i=0, unused)
+    first_order: jax.Array  # [N] bool — use 1st-order update at this step
+    grad_coef: jax.Array  # [N] — reference's per-step backward rescale
+
+
+def make_step_bundle(
+    cfg: DPMSolverConfig, schedule: Schedule, num_inference_steps: int
+) -> StepBundle:
+    ts = timestep_grid(cfg, num_inference_steps)
+    nxt = np.concatenate([ts[1:], [0]])
+    prv = np.concatenate([[ts[0]], ts[:-1]])
+
+    first = np.zeros(len(ts), dtype=bool)
+    first[0] = True  # warmup: no previous model output yet
+    if cfg.lower_order_final and len(ts) < 15:
+        first[-1] = True
+
+    # reference grad coefficient (exp-1:1105-1109):
+    # sqrt(acp_t) * sqrt(1-acp_t) / (1-alpha_t), geometric-mean normalised
+    coefs = (
+        np.sqrt(schedule.alphas_cumprod[ts])
+        * np.sqrt(1.0 - schedule.alphas_cumprod[ts])
+        / (1.0 - schedule.alphas[ts])
+    ).astype(np.float64)
+    coefs = coefs / math.prod(coefs.tolist()) ** (1.0 / len(coefs))
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return StepBundle(
+        t=jnp.asarray(ts, jnp.int32),
+        sigma_cur=f32(schedule.sigma_t[ts]),
+        alpha_cur=f32(schedule.alpha_t[ts]),
+        lambda_cur=f32(schedule.lambda_t[ts]),
+        sigma_next=f32(schedule.sigma_t[nxt]),
+        alpha_next=f32(schedule.alpha_t[nxt]),
+        lambda_next=f32(schedule.lambda_t[nxt]),
+        lambda_prev=f32(schedule.lambda_t[prv]),
+        first_order=jnp.asarray(first),
+        grad_coef=f32(coefs),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gradient rescale (the reference's register_hook on the guided epsilon)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def scale_grad(x: jax.Array, coef: jax.Array) -> jax.Array:
+    return x
+
+
+def _scale_grad_fwd(x, coef):
+    return x, coef
+
+
+def _scale_grad_bwd(coef, g):
+    return (g * coef, None)
+
+
+scale_grad.defvjp(_scale_grad_fwd, _scale_grad_bwd)
+
+
+# ---------------------------------------------------------------------------
+# the solver step (pure)
+# ---------------------------------------------------------------------------
+
+def dpm_step(
+    x0: jax.Array,
+    sample: jax.Array,
+    m_prev: jax.Array,
+    step: StepBundle,
+    i: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One DPM-Solver++ 2M update. Returns (new_sample, new_m_prev)."""
+    h = step.lambda_next[i] - step.lambda_cur[i]
+    ratio = step.sigma_next[i] / step.sigma_cur[i]
+    em1 = jnp.exp(-h) - 1.0
+
+    x_first = ratio * sample - step.alpha_next[i] * em1 * x0
+
+    h_0 = step.lambda_cur[i] - step.lambda_prev[i]
+    r0 = h_0 / h
+    d1 = (x0 - m_prev) / jnp.where(r0 == 0, 1.0, r0)
+    x_second = x_first - 0.5 * step.alpha_next[i] * em1 * d1
+
+    new_sample = jnp.where(step.first_order[i], x_first, x_second)
+    return new_sample, x0
+
+
+def denoise(
+    eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    latents: jax.Array,
+    bundle: StepBundle,
+    *,
+    guidance_scale: float = 7.5,
+    grad_mode: bool = False,
+    unroll: int = 1,
+) -> jax.Array:
+    """Run the full denoising chain as one scan.
+
+    eps_fn(latents_2B, t) -> eps_2B: caller-provided CFG-batched UNet closure
+    (first half uncond, second half cond — reference order exp-1:1035).
+
+    grad_mode=True reproduces the reference's adjusted direct finetuning:
+    the UNet consumes stop_gradient(latents) (exp-1:1115) and the guided
+    epsilon's cotangent is rescaled by the per-step coefficient
+    (exp-1:1128-1129). Parameters of eps_fn still receive gradients from
+    every step.
+    """
+    n_steps = bundle.t.shape[0]
+    latents = latents.astype(jnp.float32)
+
+    def body(carry, i):
+        sample, m_prev = carry
+        unet_in = jax.lax.stop_gradient(sample) if grad_mode else sample
+        eps2 = eps_fn(jnp.concatenate([unet_in, unet_in], axis=0), bundle.t[i])
+        eps2 = eps2.astype(jnp.float32)
+        eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        if grad_mode:
+            eps = scale_grad(eps, bundle.grad_coef[i])
+        x0 = (sample - bundle.sigma_cur[i] * eps) / bundle.alpha_cur[i]
+        new_sample, m = dpm_step(x0, sample, m_prev, bundle, i)
+        return (new_sample, m), None
+
+    (final, _), _ = jax.lax.scan(
+        body,
+        (latents, jnp.zeros_like(latents)),
+        jnp.arange(n_steps),
+        unroll=unroll,
+    )
+    return final

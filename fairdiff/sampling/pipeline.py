@@ -1,0 +1,172 @@
+"""Stable Diffusion sampling pipeline (pure functions over param pytrees).
+
+The TPU-native equivalent of the reference's `generate_image_no_gradient` /
+`generate_image_w_gradient` (exp-1-debias-gender/1-main-debias.py:998-1136)
+and gen-images.py:112-175. One jitted function covers all four reference
+sampling roles by closing over different parameter trees:
+
+  phase 1: current adapters, no grad        (exp-1:1783)
+  phase 3: frozen base, no grad             (exp-1:1840)
+  phase 4: current adapters, grad_mode      (exp-1:1879)
+  eval:    EMA adapters                     (exp-1:1659-1685)
+
+CFG batching matches the reference ([uncond; cond] concat through one UNet
+call, exp-1:1035-1052); prompt/uncond embeddings are computed once outside
+the scan and reused by all steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fairdiff.adapters import lora as lora_lib
+from fairdiff.adapters import prefix as prefix_lib
+from fairdiff.models.autoencoder_kl import AutoencoderKL, VAEConfig
+from fairdiff.models.clip_text import CLIPTextConfig, CLIPTextModel
+from fairdiff.models.unet2d import UNet2DCondition, UNetConfig
+from fairdiff.sampling import dpm_solver as dpm
+
+
+@dataclasses.dataclass(frozen=True)
+class SDConfig:
+    text: CLIPTextConfig = CLIPTextConfig.sd15()
+    unet: UNetConfig = UNetConfig.sd15()
+    vae: VAEConfig = VAEConfig.sd15()
+    solver: dpm.DPMSolverConfig = dpm.DPMSolverConfig.sd15()
+    guidance_scale: float = 7.5
+    dtype: str = "bfloat16"  # compute dtype for the big models
+
+    @classmethod
+    def sd15(cls) -> "SDConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "SDConfig":
+        return cls(
+            text=CLIPTextConfig(
+                vocab_size=64,
+                hidden_size=32,
+                intermediate_size=64,
+                num_hidden_layers=2,
+                num_attention_heads=4,
+                max_position_embeddings=16,
+                eos_token_id=63,
+            ),
+            unet=UNetConfig.tiny(),
+            vae=VAEConfig.tiny(),
+            dtype="float32",
+        )
+
+
+class StableDiffusion:
+    """Model bundle; all state lives in caller-owned param pytrees."""
+
+    def __init__(self, config: SDConfig = SDConfig.sd15(), *, use_flash: bool = False,
+                 remat: bool = False):
+        self.config = config
+        dtype = jnp.dtype(config.dtype)
+        self.text_encoder = CLIPTextModel(config.text, dtype=dtype)
+        self.unet = UNet2DCondition(
+            config.unet, dtype=dtype, use_flash=use_flash, remat=remat
+        )
+        self.vae = AutoencoderKL(config.vae, dtype=dtype)
+        self.schedule = dpm.make_schedule(config.solver)
+
+    # -- init (random weights; real weights come from fairdiff.io loaders) --
+    def init_params(self, key: jax.Array) -> dict:
+        cfg = self.config
+        k1, k2, k3 = jax.random.split(key, 3)
+        sample = self.latent_shape(1)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        ctx = jnp.zeros((1, 4, cfg.unet.cross_attention_dim))
+        img = jnp.zeros((1, sample[1] * 8, sample[2] * 8, 3))
+        return {
+            "text_encoder": self.text_encoder.init(k1, ids)["params"],
+            "unet": self.unet.init(k2, jnp.zeros(sample), jnp.array([0]), ctx)["params"],
+            "vae": self.vae.init(k3, img)["params"],
+        }
+
+    def latent_shape(self, batch: int) -> tuple[int, int, int, int]:
+        s = self.config.unet.sample_size
+        return (batch, s, s, self.config.unet.in_channels)
+
+    # -- building blocks ---------------------------------------------------
+    def encode_prompt(
+        self,
+        te_params: Any,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        prefix_table: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Prompt -> encoder hidden states. With a soft-prefix table, ids >=
+        vocab_size select trainable rows (exp-2 path)."""
+        inputs_embeds = None
+        if prefix_table is not None:
+            inputs_embeds = prefix_lib.splice_prefix_embeds(
+                te_params["token_embedding"]["embedding"], prefix_table, input_ids
+            )
+            # pooling/causal shapes still come from clipped ids
+            input_ids = jnp.minimum(input_ids, self.config.text.vocab_size - 1)
+        out = self.text_encoder.apply(
+            {"params": te_params},
+            input_ids,
+            attention_mask=attention_mask,
+            inputs_embeds=inputs_embeds,
+        )
+        return out["last_hidden_state"]
+
+    def generate(
+        self,
+        params: dict,
+        noises: jax.Array,  # [N, h, w, 4]
+        cond_ids: jax.Array,  # [1 or N, S]
+        uncond_ids: jax.Array,
+        num_steps: int,
+        *,
+        cond_mask: Optional[jax.Array] = None,
+        uncond_mask: Optional[jax.Array] = None,
+        unet_lora: Optional[Any] = None,
+        te_lora: Optional[Any] = None,
+        prefix_table: Optional[jax.Array] = None,
+        grad_mode: bool = False,
+        guidance_scale: Optional[float] = None,
+    ) -> jax.Array:
+        """Full chain: encode -> denoise (scan) -> decode. Returns images in
+        [-1, 1], NHWC (reference clamp at exp-1:1060)."""
+        cfg = self.config
+        N = noises.shape[0]
+        gs = cfg.guidance_scale if guidance_scale is None else guidance_scale
+
+        te_params = params["text_encoder"]
+        if te_lora is not None:
+            te_params = lora_lib.apply_lora(te_params, te_lora)
+        unet_params = params["unet"]
+        if unet_lora is not None:
+            unet_params = lora_lib.apply_lora(unet_params, unet_lora)
+
+        cond = self.encode_prompt(te_params, cond_ids, cond_mask, prefix_table)
+        uncond = self.encode_prompt(te_params, uncond_ids, uncond_mask)
+        if cond.shape[0] == 1:
+            cond = jnp.broadcast_to(cond, (N,) + cond.shape[1:])
+        if uncond.shape[0] == 1:
+            uncond = jnp.broadcast_to(uncond, (N,) + uncond.shape[1:])
+        context = jnp.concatenate([uncond, cond], axis=0)  # reference order
+
+        bundle = dpm.make_step_bundle(cfg.solver, self.schedule, num_steps)
+
+        def eps_fn(lat2, t):
+            return self.unet.apply({"params": unet_params}, lat2, t, context)
+
+        latents = dpm.denoise(
+            eps_fn, noises, bundle, guidance_scale=gs, grad_mode=grad_mode
+        )
+        latents = latents / cfg.vae.scaling_factor
+        images = self.vae.apply(
+            {"params": params["vae"]}, latents, method=self.vae.decode
+        )
+        return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)

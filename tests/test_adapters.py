@@ -1,0 +1,117 @@
+"""LoRA / EMA / soft-prefix adapter tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fairdiff.adapters import ema as ema_lib
+from fairdiff.adapters import lora as lora_lib
+from fairdiff.adapters import prefix as prefix_lib
+from fairdiff.models.clip_text import CLIPTextConfig, CLIPTextModel
+from fairdiff.models.unet2d import UNet2DCondition, UNetConfig
+
+TINY_TE = CLIPTextConfig(
+    vocab_size=50,
+    hidden_size=16,
+    intermediate_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+)
+
+
+def test_lora_init_is_identity():
+    model = CLIPTextModel(TINY_TE)
+    ids = jnp.ones((1, 6), jnp.int32)
+    params = model.init(jax.random.key(0), ids)["params"]
+    lora = lora_lib.init_lora(
+        params, lora_lib.text_encoder_targets, rank=4, key=jax.random.key(1)
+    )
+    merged = lora_lib.apply_lora(params, lora)
+    a = model.apply({"params": params}, ids)
+    b = model.apply({"params": merged}, ids)
+    np.testing.assert_allclose(
+        np.asarray(a["last_hidden_state"]), np.asarray(b["last_hidden_state"]), atol=0
+    )
+    # surface: q/k/v/out of both layers + fc1/fc2 => 12 targets, 24 leaves
+    assert len(jax.tree_util.tree_leaves(lora)) == 24
+
+
+def test_lora_grads_flow_and_change_output():
+    model = CLIPTextModel(TINY_TE)
+    ids = jnp.ones((1, 6), jnp.int32)
+    params = model.init(jax.random.key(0), ids)["params"]
+    lora = lora_lib.init_lora(
+        params, lora_lib.text_encoder_targets, rank=4, key=jax.random.key(1)
+    )
+
+    def loss(l):
+        merged = lora_lib.apply_lora(params, l)
+        return model.apply({"params": merged}, ids)["last_hidden_state"].sum()
+
+    g = jax.grad(loss)(lora)
+    leaves = jax.tree_util.tree_leaves(g)
+    # up is zero at init, so down-grads are zero but up-grads are not
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+    # perturbed lora changes the output
+    lora2 = jax.tree_util.tree_map(lambda x: x + 0.1, lora)
+    out2 = model.apply(
+        {"params": lora_lib.apply_lora(params, lora2)}, ids
+    )["last_hidden_state"]
+    out1 = model.apply({"params": params}, ids)["last_hidden_state"]
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_lora_unet_targets():
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 4, cfg.cross_attention_dim))
+    params = model.init(jax.random.key(0), x, jnp.array([1]), ctx)["params"]
+    lora = lora_lib.init_lora(
+        params, lora_lib.unet_attention_targets, rank=2, key=jax.random.key(1)
+    )
+    # every attn in tiny config: 3 cross-attn down blocks x2 + mid + 3 up x3
+    n_transformers = 2 * 3 + 1 + 3 * 3
+    n_kernels = n_transformers * 2 * 4  # attn1+attn2, q/k/v/out
+    assert len(jax.tree_util.tree_leaves(lora)) == n_kernels * 2
+    merged = lora_lib.apply_lora(params, lora)
+    a = model.apply({"params": params}, x, jnp.array([1]), ctx)
+    b = model.apply({"params": merged}, x, jnp.array([1]), ctx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_ema_update():
+    p = {"w": jnp.ones(3)}
+    e = ema_lib.init_ema(p)
+    p2 = {"w": jnp.zeros(3)}
+    e2 = ema_lib.update_ema(e, p2, decay=0.9)
+    np.testing.assert_allclose(np.asarray(e2["w"]), 0.9)
+    # ramp-in: count small => decay (1+1)/(10+1)
+    e3 = ema_lib.update_ema(e, p2, decay=0.996, count=1)
+    np.testing.assert_allclose(np.asarray(e3["w"]), 2.0 / 11.0, rtol=1e-6)
+
+
+def test_prefix_splice():
+    V, d, P = 20, 8, 3
+    table = jax.random.normal(jax.random.key(0), (V, d))
+    pref = prefix_lib.init_prefix(table, P, jax.random.key(1))
+    assert pref.shape == (P, d)
+
+    ids = jnp.array([[0, 5, 6, 7, 2]])
+    new_ids = prefix_lib.prepend_prefix_ids(ids, P, V, max_length=8)
+    np.testing.assert_array_equal(
+        np.asarray(new_ids), [[0, 20, 21, 22, 5, 6, 7, 2]]
+    )
+
+    embeds = prefix_lib.splice_prefix_embeds(table, pref, new_ids)
+    np.testing.assert_allclose(np.asarray(embeds[0, 0]), np.asarray(table[0]))
+    np.testing.assert_allclose(np.asarray(embeds[0, 1]), np.asarray(pref[0]))
+    np.testing.assert_allclose(np.asarray(embeds[0, 4]), np.asarray(table[5]))
+
+    # gradient flows to prefix only
+    g_table, g_pref = jax.grad(
+        lambda t, p: prefix_lib.splice_prefix_embeds(t, p, new_ids).sum(),
+        argnums=(0, 1),
+    )(table, pref)
+    assert float(jnp.abs(g_pref).min()) > 0

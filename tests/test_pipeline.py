@@ -1,0 +1,71 @@
+"""End-to-end tiny pipeline tests: generate() under jit, LoRA/prefix paths,
+grad-mode differentiability, and data-parallel sharding on the 8-dev mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fairdiff.adapters import lora as lora_lib
+from fairdiff.parallel import create_mesh, shard_batch
+from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+
+
+def _setup():
+    sd = StableDiffusion(SDConfig.tiny())
+    params = sd.init_params(jax.random.key(0))
+    noises = jax.random.normal(jax.random.key(1), sd.latent_shape(2))
+    cond = jnp.array([[0, 5, 6, 63]], jnp.int32)
+    uncond = jnp.array([[0, 63, 1, 1]], jnp.int32)
+    return sd, params, noises, cond, uncond
+
+
+def test_generate_shapes_and_determinism():
+    sd, params, noises, cond, uncond = _setup()
+    gen = jax.jit(
+        lambda p, n: sd.generate(p, n, cond, uncond, num_steps=3)
+    )
+    img1 = gen(params, noises)
+    img2 = gen(params, noises)
+    assert img1.shape == (2, 64, 64, 3)
+    assert float(img1.min()) >= -1.0 and float(img1.max()) <= 1.0
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2))
+
+
+def test_generate_with_lora_and_grad():
+    sd, params, noises, cond, uncond = _setup()
+    unet_lora = lora_lib.init_lora(
+        params["unet"], lora_lib.unet_attention_targets, 2, jax.random.key(2)
+    )
+    te_lora = lora_lib.init_lora(
+        params["text_encoder"], lora_lib.text_encoder_targets, 2, jax.random.key(3)
+    )
+
+    def loss(ul, tl):
+        img = sd.generate(
+            params, noises, cond, uncond, 3,
+            unet_lora=ul, te_lora=tl, grad_mode=True,
+        )
+        return (img**2).mean()
+
+    g_unet, g_te = jax.jit(jax.grad(loss, argnums=(0, 1)))(unet_lora, te_lora)
+    for g in (g_unet, g_te):
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_generate_data_parallel():
+    sd, params, _, cond, uncond = _setup()
+    mesh = create_mesh()
+    noises = jax.random.normal(jax.random.key(1), sd.latent_shape(8))
+    noises = shard_batch(mesh, noises)
+    img = jax.jit(lambda p, n: sd.generate(p, n, cond, uncond, 2))(params, noises)
+    assert img.shape == (8, 64, 64, 3)
+    # per-sample independence: same noise rows give same images regardless
+    # of batch placement
+    solo = jax.jit(lambda p, n: sd.generate(p, n, cond, uncond, 2))(
+        params, jax.device_put(noises[:1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(img[0]), np.asarray(solo[0]), atol=2e-4
+    )
