@@ -1,0 +1,151 @@
+"""Benchmark: exp-1 fairness-finetune optimizer step on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "exp1_train_step_chip_seconds", "value": <s>, "unit": "chip*s/step",
+   "vs_baseline": <ratio>}
+
+Baseline: the reference's implied ~22 s/optimizer-step on 2x A100-40GB for
+the exp-1 workload (global batch 24, micro-batch 3-4, 19-23 denoise steps;
+BASELINE.md) == 44 chip-seconds/step. vs_baseline = 44 / ours (>1 == we are
+faster per chip).
+
+The benchmarked step is the full production program: 19-step sampling x2
+(phases 1 & 3), host-side dynamic-target OT, micro-batched differentiable
+sampling chain with LoRA gradients (phase 4), finite-gate AdamW + EMA —
+with the real-architecture guidance stack (FaceDetectorNet, MobileNetV3,
+CLIP-ViT-H, DINOv2, SFNet-20) running batched on-device with random
+weights (weights don't change the math cost).
+
+  python bench.py            # full SD-1.5 (first run compiles ~minutes)
+  python bench.py --quick    # tiny config sanity run
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(quick: bool):
+    from fairdiff.guidance.attributes import celeba_slices
+    from fairdiff.guidance.face_feats import FaceFeatsDB
+    from fairdiff.models.clip_vision import CLIPVisionConfig, CLIPVisionModel
+    from fairdiff.models.dinov2 import DINOv2Config, DINOv2Model
+    from fairdiff.models.face_detector import (
+        DetectorConfig, FaceDetectorNet, make_detect_fn,
+    )
+    from fairdiff.models.mobilenet_v3 import MobileNetV3Large
+    from fairdiff.models.sfnet import SFNet, SFNetConfig
+    from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+    from fairdiff.training.debias import DebiasConfig, DebiasTrainer
+    from fairdiff.training.stack import (
+        GuidanceStack, normalize_for_clip, normalize_for_dino,
+    )
+    from fairdiff.training.presets import exp1
+
+    key = jax.random.key(0)
+    if quick:
+        from fairdiff.training.synthetic import synthetic_stack
+
+        sd = StableDiffusion(SDConfig.tiny())
+        params = sd.init_params(key)
+        cfg = exp1(
+            train_images_per_prompt=4, train_micro_batch=2,
+            steps_low=2, steps_high=2, lora_rank=2,
+        )
+        return sd, params, synthetic_stack(("gender",)), cfg
+
+    sd = StableDiffusion(SDConfig.sd15(), remat=True)
+    params = sd.init_params(key)
+
+    det_cfg = DetectorConfig()
+    det_net = FaceDetectorNet(det_cfg, dtype=jnp.bfloat16)
+    det_params = det_net.init(key, jnp.zeros((1, 512, 512, 3)))["params"]
+    detect_fn = make_detect_fn(det_net, det_params, det_cfg)
+
+    mnv3 = MobileNetV3Large(num_classes=80, dtype=jnp.bfloat16)
+    mnv3_params = mnv3.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+
+    clip = CLIPVisionModel(CLIPVisionConfig.vit_h14(), dtype=jnp.bfloat16)
+    clip_params = clip.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+
+    dino = DINOv2Model(DINOv2Config.vitb14(), dtype=jnp.bfloat16)
+    dino_params = dino.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+
+    sfnet = SFNet(SFNetConfig.sfnet20(), dtype=jnp.bfloat16)
+    sfnet_params = sfnet.init(key, jnp.zeros((1, 112, 112, 3)))["params"]
+
+    def clip_fn(images):
+        x = normalize_for_clip(images)
+        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
+        e = clip.apply({"params": clip_params}, x)["image_embeds"].astype(jnp.float32)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
+
+    def dino_fn(images):
+        x = normalize_for_dino(images)
+        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
+        e = dino.apply({"params": dino_params}, x).astype(jnp.float32)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
+
+    db_feats = jax.random.normal(key, (1024, 512))
+    db_feats = db_feats / jnp.linalg.norm(db_feats, axis=-1, keepdims=True)
+    guidance = GuidanceStack(
+        detect_fn=detect_fn,
+        classify_fn=lambda chips: mnv3.apply({"params": mnv3_params}, chips),
+        slices=celeba_slices(),
+        clip_feat_fn=clip_fn,
+        dino_feat_fn=dino_fn,
+        face_embed_fn=lambda a: sfnet.apply({"params": sfnet_params}, a),
+        face_db=FaceFeatsDB(db_feats, jnp.zeros(1024, jnp.int32), {}),
+        img_size_small=256,
+    )
+    cfg = exp1(steps_low=19, steps_high=19)  # fixed T: one compiled bucket
+    return sd, params, guidance, cfg
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from fairdiff.training.debias import DebiasTrainer
+
+    sd, params, guidance, cfg = build(quick)
+    trainer = DebiasTrainer(sd, params, guidance, cfg)
+    state = trainer.init_state(jax.random.key(1))
+    v = sd.config.text.vocab_size
+    cond = jnp.array([[min(0, v - 1), 5 % v, 6 % v, v - 1]], jnp.int32)
+    uncond = jnp.array([[0, v - 1, 1, 1]], jnp.int32)
+    root = jax.random.key(42)
+
+    t0 = time.time()
+    state, _ = trainer.train_step(state, (cond, uncond), root)  # compile+run
+    compile_step = time.time() - t0
+
+    n_timed = 1 if quick else 2
+    t0 = time.time()
+    for _ in range(n_timed):
+        state, logs = trainer.train_step(state, (cond, uncond), root)
+    step_time = (time.time() - t0) / n_timed
+
+    n_chips = jax.device_count()
+    chip_seconds = step_time * n_chips
+    baseline_chip_seconds = 44.0  # 22 s/step x 2 A100 (BASELINE.md)
+    result = {
+        "metric": "exp1_train_step_chip_seconds",
+        "value": round(chip_seconds, 3),
+        "unit": "chip*s/step",
+        "vs_baseline": round(baseline_chip_seconds / chip_seconds, 3),
+    }
+    print(json.dumps(result))
+    if "--verbose" in sys.argv:
+        print(
+            f"# warmup(+compile) {compile_step:.1f}s, steady {step_time:.2f}s/step "
+            f"on {n_chips} chip(s); loss={logs.get('train_loss')}",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,10 +93,64 @@ def face_region_grad_scale(
     return _scale_grad_region(images, scale)
 
 
-def combine_multi_attr(values: list[jax.Array], how: str = "mul") -> jax.Array:
-    """exp-3 stacks per-attribute hooks/weights; scaling factors compose
-    multiplicatively (two hooks in sequence multiply the gradient)."""
-    out = values[0]
-    for v in values[1:]:
-        out = out * v
+def multi_attr_factor(
+    targets: dict[str, jax.Array],
+    preds_ori: dict[str, jax.Array],
+    factors: dict[str, float],
+) -> jax.Array:
+    """exp-3/4 combination rule (exp-3:1787-1803, :1755-1771): per-sample
+    factor = 1 if every attribute keeps its original prediction, else the
+    MIN of the factors of the attributes that change (target -1 counts as
+    changed)."""
+    names = list(targets)
+    out = jnp.ones_like(targets[names[0]], dtype=jnp.float32)
+    for name in names:
+        v = jnp.where(keep_identity(targets[name], preds_ori[name]), 1.0, factors[name])
+        out = jnp.minimum(out, v)
     return out
+
+
+def dynamic_weights_multi(
+    face_indicators: jax.Array,
+    targets: dict[str, jax.Array],
+    preds_ori: dict[str, jax.Array],
+    factors: dict[str, float],
+    no_face_weight: float | None = None,
+) -> jax.Array:
+    """Generalised `gen_dynamic_weights`. exp-1 uses no_face_weight=1
+    (exp-1:1622); exp-3+ use min(factors) (exp-3:1790-1791) — pass None to
+    get min(factors)."""
+    if no_face_weight is None:
+        no_face_weight = min(factors.values())
+    w = multi_attr_factor(targets, preds_ori, factors)
+    return jnp.where(face_indicators, w, no_face_weight)
+
+
+def face_region_grad_scale_multi(
+    images: jax.Array,
+    face_bboxes: jax.Array,
+    face_bboxes_ori: jax.Array,
+    targets: dict[str, jax.Array],
+    preds_ori: dict[str, jax.Array],
+    factors: dict[str, float],
+) -> jax.Array:
+    """Multi-attribute `apply_grad_hook_face` (exp-3:1740-1784)."""
+    n, h, w, _ = images.shape
+    b = jnp.maximum(face_bboxes, 0).astype(jnp.float32)
+    bo = face_bboxes_ori.astype(jnp.float32)
+    inter = jnp.stack(
+        [
+            jnp.maximum(jnp.maximum(b[:, 0], bo[:, 0]), 0.0),
+            jnp.maximum(jnp.maximum(b[:, 1], bo[:, 1]), 0.0),
+            jnp.minimum(jnp.minimum(b[:, 2], bo[:, 2]), float(w)),
+            jnp.minimum(jnp.minimum(b[:, 3], bo[:, 3]), float(h)),
+        ],
+        axis=-1,
+    )
+    has_face = (face_bboxes != -1).any(axis=-1)
+    f = multi_attr_factor(targets, preds_ori, factors)
+    masks = jax.vmap(lambda box: _box_mask((h, w), box))(inter)
+    scale = jnp.where(
+        has_face[:, None, None], masks * f[:, None, None] + (1.0 - masks), 1.0
+    )[..., None]
+    return _scale_grad_region(images, scale)

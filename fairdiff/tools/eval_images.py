@@ -1,0 +1,155 @@
+"""Offline bias evaluation of generated image folders — parity with the
+reference's eval-generated-images.py.
+
+Pipeline (eval-generated-images.py:570-709): per prompt folder, per image:
+load -> [-1,1] -> batched face detection -> crop -> three HELD-OUT test
+classifiers (gender-2 / race-4 / age-2 MobileNetV3, the classifier-level
+train/test split of SURVEY.md §4) -> annotated grid + pickled
+[face_indicators, face_bboxs, gender_logits, race_logits, age_logits]
+-> test_results.pkl. TPU-native: detection/classification run batched
+per folder instead of per image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fairdiff.guidance.faces import analyze_faces
+from fairdiff.io.images import load_image
+from fairdiff.training.metrics import multi_attr_metrics
+from fairdiff.utils import config as cfglib
+from fairdiff.utils.grids import plot_in_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalImagesConfig:
+    generated_imgs_dir: str = "outputs/gen-images"
+    save_dir: str = "outputs/eval-images"
+    # converted held-out classifier params (.npz trees); '' => synthetic
+    gender_classifier: str = ""
+    race_classifier: str = ""
+    age_classifier: str = ""
+    detector_params: str = ""
+    batch_size: int = 32
+    chip_size: int = 224
+    synthetic_smoke: bool = False  # CI mode: oracle detector + stats heads
+
+
+def _load_stack(cfg: EvalImagesConfig):
+    if cfg.synthetic_smoke:
+        from fairdiff.training.synthetic import oracle_detect, synthetic_classifier
+
+        classify = synthetic_classifier()
+        return oracle_detect, {
+            "gender": lambda chips: classify(chips)[:, 0:2],
+            "race": lambda chips: classify(chips)[:, 2:6],
+            "age": lambda chips: classify(chips)[:, 6:8],
+        }
+
+    from fairdiff.io.adapters_io import load_adapters
+    from fairdiff.models.face_detector import (
+        DetectorConfig, FaceDetectorNet, make_detect_fn,
+    )
+    from fairdiff.models.mobilenet_v3 import MobileNetV3Large
+
+    det_cfg = DetectorConfig()
+    det_net = FaceDetectorNet(det_cfg)
+    det_params = load_adapters(cfg.detector_params)
+    detect_fn = make_detect_fn(det_net, det_params, det_cfg)
+
+    heads = {}
+    for name, path, n_cls in (
+        ("gender", cfg.gender_classifier, 2),
+        ("race", cfg.race_classifier, 4),
+        ("age", cfg.age_classifier, 2),
+    ):
+        if not path:
+            continue
+        net = MobileNetV3Large(num_classes=n_cls)
+        params = load_adapters(path)
+        heads[name] = (
+            lambda chips, net=net, params=params: net.apply({"params": params}, chips)
+        )
+    return detect_fn, heads
+
+
+def main(cfg: EvalImagesConfig) -> dict:
+    detect_fn, heads = _load_stack(cfg)
+    root = Path(cfg.generated_imgs_dir)
+    save_root = Path(cfg.save_dir)
+    save_root.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def analyze(batch):
+        faces = analyze_faces(batch, detect_fn(batch), chip_size=cfg.chip_size)
+        logits = {
+            name: jnp.where(
+                faces.indicators[:, None], head(faces.chips).astype(jnp.float32), -1.0
+            )
+            for name, head in heads.items()
+        }
+        return faces.indicators, faces.bboxes, logits
+
+    summary = {}
+    for prompt_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+        files = sorted(prompt_dir.glob("*.jpg")) + sorted(prompt_dir.glob("*.png"))
+        if not files:
+            continue
+        imgs = np.stack([load_image(f) for f in files])
+        inds, bboxes, logits = [], [], {k: [] for k in heads}
+        for s in range(0, len(imgs), cfg.batch_size):
+            batch = jnp.asarray(imgs[s : s + cfg.batch_size])
+            i, b, lg = analyze(batch)
+            inds.append(np.asarray(i))
+            bboxes.append(np.asarray(b))
+            for k in heads:
+                logits[k].append(np.asarray(lg[k]))
+        inds = np.concatenate(inds)
+        bboxes = np.concatenate(bboxes)
+        logits = {k: np.concatenate(v) for k, v in logits.items()}
+
+        probs = {
+            k: np.where(
+                (v != -1).all(-1, keepdims=True),
+                np.exp(v) / np.exp(v).sum(-1, keepdims=True),
+                -1.0,
+            )
+            for k, v in logits.items()
+        }
+        preds = {
+            k: np.where(inds, v.argmax(-1), -1) for k, v in probs.items()
+        }
+        metrics = multi_attr_metrics(probs, preds)
+        summary[prompt_dir.name] = metrics
+
+        g = probs.get("gender")
+        plot_in_grid(
+            imgs,
+            save_root / f"{prompt_dir.name}_grid.jpg",
+            face_indicators=inds,
+            preds=preds.get("gender", np.zeros(len(imgs), int)),
+            probs_max=(g.max(-1) if g is not None else None),
+        )
+        with open(save_root / f"{prompt_dir.name}_test_results.pkl", "wb") as f:
+            pickle.dump(
+                [
+                    inds, bboxes,
+                    logits.get("gender"), logits.get("race"), logits.get("age"),
+                ],
+                f,
+            )
+        print(f"[eval-images] {prompt_dir.name}: {metrics}")
+
+    with open(save_root / "summary.pkl", "wb") as f:
+        pickle.dump(summary, f)
+    return summary
+
+
+if __name__ == "__main__":
+    main(cfglib.cli_parse(EvalImagesConfig))

@@ -1,0 +1,59 @@
+"""Checkpoint -> standalone adapter export, parity with the reference's
+`2-export-checkpoint.py` (exp-1 version at :367-642: rebuild trainer state,
+`accelerator.load_state(ckpt)`, save cpu state dicts
+`{text_encoder_lora,unet_lora,prefix_embedding}[_EMA].pth` into
+`<ckpt>_exported/`).
+
+Here: restore the orbax train state and write flat .npz adapter trees
+(loadable by gen_images / eval tools on any host, no framework state).
+
+  python -m fairdiff.tools.export_checkpoint --experiment exp1 \
+      --checkpoint_dir outputs/debias/checkpoints --tiny_smoke true
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+
+from fairdiff.io.adapters_io import save_adapters
+from fairdiff.utils import config as cfglib
+
+
+@dataclasses.dataclass(frozen=True)
+class ExportConfig:
+    experiment: str = "exp1"
+    checkpoint_dir: str = "outputs/debias/checkpoints"
+    step: int = -1  # -1 => latest
+    output_dir: str = ""  # default <checkpoint_dir>/<step>_exported
+    tiny_smoke: bool = False
+    seed: int = 42
+
+
+def main(cfg: ExportConfig) -> Path:
+    from fairdiff.tools.train_debias import TrainCLIConfig, build_trainer
+    from fairdiff.training.checkpoints import DualCadenceCheckpointer
+
+    _, trainer, _ = build_trainer(
+        TrainCLIConfig(
+            experiment=cfg.experiment, tiny_smoke=cfg.tiny_smoke, seed=cfg.seed
+        )
+    )
+    template = trainer.init_state(jax.random.key(cfg.seed))
+    ckpt = DualCadenceCheckpointer(cfg.checkpoint_dir)
+    step = None if cfg.step < 0 else cfg.step
+    state = ckpt.restore(template, step)
+
+    out = Path(cfg.output_dir or f"{cfg.checkpoint_dir}/{state.step}_exported")
+    wrap = lambda t: t if isinstance(t, dict) else {"prefix": t}
+    for name, tree in state.adapters.items():
+        save_adapters(out / f"{name}.npz", wrap(tree))
+        save_adapters(out / f"{name}_EMA.npz", wrap(state.ema[name]))
+    print(f"[export] step {state.step} adapters -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main(cfglib.cli_parse(ExportConfig))

@@ -1,0 +1,165 @@
+"""Fairness-finetuning CLI — parity with the reference's
+`accelerate launch 1-main-debias.py --config ...` entry points (all six
+experiments through one binary; the experiment preset replaces the
+per-experiment script forks).
+
+Usage:
+  python -m fairdiff.tools.train_debias --experiment exp1 \
+      --model_dir /path/to/converted-sd15 --prompts_json occupation.json
+  python -m fairdiff.tools.train_debias --experiment exp1 --tiny_smoke true \
+      --max_train_steps 2          # CPU/CI smoke with synthetic guidance
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fairdiff.io.adapters_io import save_adapters
+from fairdiff.io.prompts import load_occupation_prompts
+from fairdiff.io.tokenizer import load_tokenizer
+from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+from fairdiff.training.checkpoints import DualCadenceCheckpointer
+from fairdiff.training.debias import DebiasConfig, DebiasTrainer
+from fairdiff.training.logging import MetricsLogger
+from fairdiff.training.presets import PRESETS
+from fairdiff.training.synthetic import synthetic_stack
+from fairdiff.utils import config as cfglib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainCLIConfig:
+    experiment: str = "exp1"
+    model_dir: str = ""
+    tokenizer_dir: str = ""
+    guidance_dir: str = ""  # converted detector/classifier/feat model params
+    prompts_json: str = ""
+    output_dir: str = "outputs/debias"
+    resume_from_checkpoint: bool = False
+    use_wandb: bool = False
+    tiny_smoke: bool = False
+    seed: int = 42
+    # frequent overrides (full control via --debias.* once nested configs land)
+    max_train_steps: int = 0  # 0 => preset default
+    train_images_per_prompt: int = 0
+    train_micro_batch: int = 0
+    eval_interval: int = 0
+    checkpoint_tmp_every: int = 20
+    checkpoint_perm_every: int = 200
+
+
+def build_trainer(cfg: TrainCLIConfig):
+    preset = PRESETS[cfg.experiment]
+    overrides = {"seed": cfg.seed, "output_dir": cfg.output_dir}
+    for field in (
+        "max_train_steps", "train_images_per_prompt", "train_micro_batch",
+        "eval_interval",
+    ):
+        v = getattr(cfg, field)
+        if v:
+            overrides[field] = v
+    dcfg: DebiasConfig = preset(**overrides)
+
+    if cfg.tiny_smoke:
+        sd = StableDiffusion(SDConfig.tiny())
+        params = sd.init_params(jax.random.key(cfg.seed))
+        guidance = synthetic_stack(dcfg.attributes)
+        dcfg = dataclasses.replace(
+            dcfg, steps_low=2, steps_high=2, eval_denoising_steps=2,
+            train_images_per_prompt=min(dcfg.train_images_per_prompt, 4),
+            train_micro_batch=2, val_images_per_prompt=2, lora_rank=2,
+        )
+    else:
+        sd = StableDiffusion(SDConfig.sd15(), remat=True)
+        if cfg.model_dir:
+            from fairdiff.io.checkpoints import load_sd_params
+
+            params = load_sd_params(cfg.model_dir)
+        else:
+            print("[train] WARNING: no --model_dir; random-init SD weights")
+            params = sd.init_params(jax.random.key(cfg.seed))
+        if cfg.guidance_dir:
+            from fairdiff.training.model_zoo import load_guidance_stack
+
+            guidance = load_guidance_stack(cfg.guidance_dir, dcfg.attributes)
+        else:
+            print("[train] WARNING: no --guidance_dir; synthetic guidance")
+            guidance = synthetic_stack(dcfg.attributes)
+
+    trainer = DebiasTrainer(sd, params, guidance, dcfg)
+    return sd, trainer, dcfg
+
+
+def tokenize_prompts(sd, tokenizer, prompts: list[str], tiny: bool):
+    max_len = min(tokenizer.model_max_length, sd.config.text.max_position_embeddings)
+    out = []
+    for p in prompts:
+        c = tokenizer([p], padding="max_length", max_length=max_len)
+        u = tokenizer([""], padding="max_length", max_length=max_len)
+        out.append((jnp.asarray(c.input_ids), jnp.asarray(u.input_ids)))
+    return out
+
+
+def main(cfg: TrainCLIConfig):
+    sd, trainer, dcfg = build_trainer(cfg)
+    tokenizer = load_tokenizer(cfg.tokenizer_dir or None)
+    if cfg.tiny_smoke:
+        tokenizer.vocab_size = sd.config.text.vocab_size
+        tokenizer.bos_token_id = 0
+        tokenizer.eos_token_id = sd.config.text.vocab_size - 1
+        tokenizer.pad_token_id = sd.config.text.vocab_size - 1
+
+    if cfg.prompts_json:
+        data = load_occupation_prompts(cfg.prompts_json)
+        train_prompts = data["train_prompts"]
+        val_prompts = data.get("val_prompts", train_prompts[:4])
+    else:
+        train_prompts = [
+            "a photo of the face of a doctor, a person",
+            "a photo of the face of a firefighter, a person",
+        ]
+        val_prompts = train_prompts[:1]
+
+    train_ids = tokenize_prompts(sd, tokenizer, train_prompts, cfg.tiny_smoke)
+    val_ids = tokenize_prompts(sd, tokenizer, val_prompts, cfg.tiny_smoke)
+
+    logger = MetricsLogger(cfg.output_dir, use_wandb=cfg.use_wandb,
+                           run_name=cfg.experiment,
+                           config=cfglib.to_dict(dcfg))
+    ckpt = DualCadenceCheckpointer(
+        Path(cfg.output_dir) / "checkpoints",
+        tmp_every=cfg.checkpoint_tmp_every,
+        perm_every=cfg.checkpoint_perm_every,
+    )
+    trainer.logger = logger
+
+    state = trainer.init_state(jax.random.key(cfg.seed))
+    if cfg.resume_from_checkpoint and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"[train] resumed from step {state.step}")
+
+    state = trainer.fit(
+        state, train_ids, val_prompt_ids=val_ids,
+        checkpoint_cb=ckpt.maybe_save,
+    )
+    ckpt.wait()
+
+    # export adapters like 2-export-checkpoint.py (SURVEY.md §3.2)
+    export_dir = Path(cfg.output_dir) / "exported"
+    for name, tree in state.adapters.items():
+        wrap = lambda t: t if isinstance(t, dict) else {"prefix": t}
+        save_adapters(export_dir / f"{name}.npz", wrap(tree))
+        save_adapters(export_dir / f"{name}_EMA.npz", wrap(state.ema[name]))
+    print(f"[train] done at step {state.step}; adapters -> {export_dir}")
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main(cfglib.cli_parse(TrainCLIConfig))

@@ -1,0 +1,532 @@
+"""The fairness-finetuning trainer — the reference's 4-phase train loop,
+TPU-native.
+
+Reference: exp-1-debias-gender/1-main-debias.py:1731-2070 (and the exp-3/4/6
+variants). Per optimizer step, one prompt (identical across data shards)
+and N noise lanes (distinct per lane):
+
+  phase 1  sample with CURRENT adapters (no grad), face-analyse, classify
+           (exp-1:1783-1826)                                  [jitted]
+  phase 2  dynamic targets from the GLOBAL probability batch, uncertainty
+           gate (exp-1:1828-1838)                             [host, tiny]
+  phase 3  sample with FROZEN base model -> original feats/preds
+           (exp-1:1840-1877)                                  [jitted]
+  phase 4  micro-batched differentiable sampling + composite loss; grads
+           accumulate across chunks (exp-1:1879-1940)         [jitted/chunk]
+  update   finite-gate -> AdamW -> EMA (exp-1:1996-2029)      [jitted]
+
+TPU-native translations:
+  - the manual grad all-reduce /(P*N_backward) disappears: lanes are sharded
+    over the "data" mesh axis, losses are global means, XLA inserts psums
+  - rank-0 broadcasts of step counts/targets are replaced by determinism
+    (same seeded host RNG on every host)
+  - the variable 19..23-step chain stays jit-friendly by bucketing: one
+    compiled executable per step-count (5 buckets, cached)
+  - fp16+GradScaler(1.0) becomes bf16 compute + fp32 adapters; the
+    finite-grad step-skip is optax.apply_if_finite
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fairdiff.adapters import ema as ema_lib
+from fairdiff.adapters import lora as lora_lib
+from fairdiff.adapters import prefix as prefix_lib
+from fairdiff.fairness import losses as loss_lib
+from fairdiff.fairness import targets as targets_lib
+from fairdiff.fairness import weights as weights_lib
+from fairdiff.sampling.pipeline import StableDiffusion
+from fairdiff.training import metrics as metrics_lib
+from fairdiff.training.stack import GuidanceStack
+from fairdiff.utils import rng as rng_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class DebiasConfig:
+    # which adapters train (exp-1 flags train_text_encoder/train_unet;
+    # exp-2 trains the prefix instead)
+    train_text_encoder: bool = True
+    train_unet: bool = False
+    train_prefix: bool = False
+    num_prefix_tokens: int = 5
+    lora_rank: int = 50
+    # attributes & targets: "binary" (exp-1/2), "ot2" (exp-3/5),
+    # "ot3" (exp-4), "enum" (exp-6)
+    attributes: tuple[str, ...] = ("gender",)
+    target_kind: str = "binary"
+    target_ratio: float = 0.5
+    uncertainty_thresholds: tuple[float, ...] = (0.2,)
+    ot_num_samples: int = 200
+    # optimization (exp-1 defaults, exp-1:397-430)
+    learning_rate: float = 5e-5
+    weight_decay: float = 1e-2
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 10000
+    train_images_per_prompt: int = 24  # global lanes per step
+    train_micro_batch: int = 4  # train_GPU_batch_size
+    steps_low: int = 19
+    steps_high: int = 23
+    guidance_scale: float = 7.5
+    # loss weights (exp-1:1932; per-attr factors for exp-3+)
+    weight_loss_img: float = 8.0
+    weight_loss_face: float = 1.0
+    factor1: tuple[float, ...] = (0.2,)
+    factor2: tuple[float, ...] = (0.1,)
+    face_confidence_level: float = 0.9
+    no_face_img_weight_one: bool = True  # exp-1 True, exp-3+ False
+    face_search_all_lanes: bool = False  # exp-3 searches every face lane
+    # EMA
+    ema_decay: float = 0.996
+    # eval
+    eval_interval: int = 200
+    eval_denoising_steps: int = 25
+    val_images_per_prompt: int = 8
+    # misc
+    seed: int = 42
+    output_dir: str = "outputs/debias"
+
+    def factor_dict(self, which: str) -> dict[str, float]:
+        vals = self.factor1 if which == "f1" else self.factor2
+        return dict(zip(self.attributes, vals))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DebiasState:
+    adapters: dict[str, Any]  # {"unet_lora": {}, "te_lora": {}, "prefix": None|arr}
+    opt_state: Any
+    ema: dict[str, Any]
+    step: int
+
+    def tree_flatten(self):
+        return (self.adapters, self.opt_state, self.ema), (self.step,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0])
+
+
+class DebiasTrainer:
+    def __init__(
+        self,
+        sd: StableDiffusion,
+        frozen_params: dict,
+        guidance: GuidanceStack,
+        config: DebiasConfig,
+        *,
+        mesh=None,
+        logger: Optional[Callable[[int, dict], None]] = None,
+    ):
+        self.sd = sd
+        self.guidance = guidance
+        self.cfg = config
+        self.mesh = mesh
+        if mesh is not None:
+            from fairdiff.parallel import replicated
+
+            frozen_params = replicated(mesh, frozen_params)
+        self.params = frozen_params
+        self.logger = logger or (lambda step, logs: None)
+        self._jit_cache: dict = {}
+
+        schedule = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, config.learning_rate, max(config.lr_warmup_steps, 1)),
+                optax.constant_schedule(config.learning_rate),
+            ],
+            [max(config.lr_warmup_steps, 1)],
+        ) if config.lr_warmup_steps else config.learning_rate
+        self.tx = optax.apply_if_finite(
+            optax.adamw(
+                schedule, b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=config.weight_decay,
+            ),
+            max_consecutive_errors=10**8,
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array) -> DebiasState:
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        adapters: dict[str, Any] = {}
+        if cfg.train_unet:
+            adapters["unet_lora"] = lora_lib.init_lora(
+                self.params["unet"], lora_lib.unet_attention_targets, cfg.lora_rank, k1
+            )
+        if cfg.train_text_encoder:
+            adapters["te_lora"] = lora_lib.init_lora(
+                self.params["text_encoder"], lora_lib.text_encoder_targets,
+                cfg.lora_rank, k2,
+            )
+        if cfg.train_prefix:
+            adapters["prefix"] = prefix_lib.init_prefix(
+                self.params["text_encoder"]["token_embedding"]["embedding"],
+                cfg.num_prefix_tokens, k3,
+            )
+        opt_state = self.tx.init(adapters)
+        return DebiasState(adapters, opt_state, ema_lib.init_ema(adapters), 0)
+
+    # ------------------------------------------------------------------
+    def _gen_kwargs(self, adapters: Optional[dict]) -> dict:
+        if not adapters:
+            return {}
+        return {
+            "unet_lora": adapters.get("unet_lora"),
+            "te_lora": adapters.get("te_lora"),
+            "prefix_table": adapters.get("prefix"),
+        }
+
+    def _prefix_ids(self, ids: jax.Array) -> jax.Array:
+        if not self.cfg.train_prefix:
+            return ids
+        return prefix_lib.prepend_prefix_ids(
+            ids, self.cfg.num_prefix_tokens, self.sd.config.text.vocab_size,
+            self.sd.config.text.max_position_embeddings,
+        )
+
+    @staticmethod
+    def _match_len(uncond_ids: jax.Array, cond_ids: jax.Array) -> jax.Array:
+        """Pad uncond to the cond length with its pad/eos column (the
+        reference tokenizes uncond at padding='max_length'=len(cond),
+        exp-1:1019-1027)."""
+        diff = cond_ids.shape[1] - uncond_ids.shape[1]
+        if diff <= 0:
+            return uncond_ids[:, : cond_ids.shape[1]]
+        pad = jnp.tile(uncond_ids[:, -1:], (1, diff))
+        return jnp.concatenate([uncond_ids, pad], axis=1)
+
+    def _sample_analyze_fn(self, n_steps: int, with_adapters: bool):
+        key = ("sample", n_steps, with_adapters)
+        if key not in self._jit_cache:
+
+            def fn(adapters, noises, cond_ids, uncond_ids):
+                images = self.sd.generate(
+                    self.params, noises,
+                    cond_ids, uncond_ids, n_steps,
+                    guidance_scale=self.cfg.guidance_scale,
+                    **(self._gen_kwargs(adapters) if with_adapters else {}),
+                )
+                res = self.guidance.analyze(images)
+                return images, res
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    def _chunk_loss(
+        self, adapters, noises, cond_ids, uncond_ids, n_steps,
+        targets: dict, ori: dict,
+    ):
+        cfg = self.cfg
+        images = self.sd.generate(
+            self.params, noises, cond_ids, uncond_ids, n_steps,
+            guidance_scale=cfg.guidance_scale, grad_mode=True,
+            **self._gen_kwargs(adapters),
+        )
+        res = self.guidance.analyze(images, include_semantic=False)
+        ind = res.faces.indicators
+
+        # fair CE per attribute (masked sum)
+        loss_fair = jnp.zeros(images.shape[0])
+        fair_valid = jnp.zeros(images.shape[0], bool)
+        for name in cfg.attributes:
+            lf, v = loss_lib.fair_ce_loss(
+                res.attrs[name].logits, targets[name], ind
+            )
+            loss_fair = loss_fair + lf
+            fair_valid = fair_valid | v
+
+        # face-region gradient treatment, then CLIP/DINO on hooked images
+        hooked = weights_lib.face_region_grad_scale_multi(
+            images, res.faces.bboxes, ori["face_bboxes"],
+            {a: targets[a] for a in cfg.attributes},
+            {a: ori["preds"][a] for a in cfg.attributes},
+            cfg.factor_dict("f2"),
+        )
+        clip_feats, dino_feats = self.guidance.semantic_feats(hooked)
+        loss_clip = (
+            loss_lib.cosine_loss(clip_feats, ori["clip_feats"])
+            if clip_feats is not None else jnp.zeros(images.shape[0])
+        )
+        loss_dino = (
+            loss_lib.cosine_loss(dino_feats, ori["dino_feats"])
+            if dino_feats is not None else jnp.zeros(images.shape[0])
+        )
+
+        # face realism
+        if res.face_feats is not None:
+            kept_all = ind
+            for name in cfg.attributes:
+                kept_all = kept_all & (
+                    (targets[name] == ori["preds"][name])
+                    & (targets[name] != -1)
+                    & (ori["probs_max"][name] >= cfg.face_confidence_level)
+                )
+            if cfg.face_search_all_lanes:
+                face_valid = ind
+            else:
+                face_valid = ind
+                for name in cfg.attributes:
+                    face_valid = face_valid & (targets[name] != -1)
+            searched = res.face_feats
+            if self.guidance.face_db is not None:
+                _, searched = self.guidance.face_db.semantic_search(
+                    jax.lax.stop_gradient(res.face_feats)
+                )
+            target_embeds = jnp.where(
+                kept_all[:, None], ori["face_feats"], searched
+            )
+            loss_face = loss_lib.cosine_loss(
+                res.face_feats, jax.lax.stop_gradient(target_embeds)
+            )
+            loss_face = jnp.where(face_valid, loss_face, 0.0)
+        else:
+            loss_face = jnp.zeros(images.shape[0])
+            face_valid = jnp.zeros(images.shape[0], bool)
+
+        dyn_w = weights_lib.dynamic_weights_multi(
+            ind,
+            {a: targets[a] for a in cfg.attributes},
+            {a: ori["preds"][a] for a in cfg.attributes},
+            cfg.factor_dict("f1"),
+            no_face_weight=1.0 if cfg.no_face_img_weight_one else None,
+        )
+        out = loss_lib.composite_loss(
+            loss_fair=loss_fair, loss_clip=loss_clip, loss_dino=loss_dino,
+            loss_face=loss_face, dynamic_w=dyn_w,
+            weight_img=cfg.weight_loss_img, weight_face=cfg.weight_loss_face,
+            fair_valid=fair_valid, face_valid=face_valid,
+        )
+        return out.total, out.logs
+
+    def _grad_fn(self, n_steps: int):
+        key = ("grad", n_steps)
+        if key not in self._jit_cache:
+            fn = jax.grad(
+                lambda adapters, *a: self._chunk_loss(adapters, *a), has_aux=True
+            )
+            self._jit_cache[key] = jax.jit(
+                lambda adapters, noises, ci, ui, t, o: fn(
+                    adapters, noises, ci, ui, n_steps, t, o
+                )
+            )
+        return self._jit_cache[key]
+
+    def _update_fn(self):
+        if "update" not in self._jit_cache:
+
+            def fn(adapters, opt_state, ema, grads, decay):
+                updates, new_opt = self.tx.update(grads, opt_state, adapters)
+                new_adapters = optax.apply_updates(adapters, updates)
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+                    ema, new_adapters,
+                )
+                return new_adapters, new_opt, new_ema
+
+            self._jit_cache["update"] = jax.jit(fn)
+        return self._jit_cache["update"]
+
+    # ------------------------------------------------------------------
+    def make_targets(
+        self, probs: dict[str, np.ndarray], step_rng: np.random.Generator
+    ) -> dict[str, np.ndarray]:
+        cfg = self.cfg
+        th = dict(zip(cfg.attributes, cfg.uncertainty_thresholds))
+        if cfg.target_kind == "binary":
+            t = targets_lib.binary_rank_targets(probs["gender"], cfg.target_ratio)
+            return {"gender": targets_lib.gate_targets_by_uncertainty(t, th["gender"])}
+        if cfg.target_kind == "ot2":
+            tg, tr = targets_lib.sampled_ot_targets_2attr(
+                probs["gender"], probs["race"], step_rng, cfg.ot_num_samples
+            )
+            return {
+                "gender": targets_lib.gate_targets_by_uncertainty(tg, th["gender"]),
+                "race": targets_lib.gate_targets_by_uncertainty(tr, th["race"]),
+            }
+        if cfg.target_kind == "ot3":
+            tg, tr, ta = targets_lib.sampled_ot_targets_3attr(
+                probs["gender"], probs["race"], probs["age"], step_rng,
+                cfg.ot_num_samples,
+            )
+            return {
+                "gender": targets_lib.gate_targets_by_uncertainty(tg, th["gender"]),
+                "race": targets_lib.gate_targets_by_uncertainty(tr, th["race"]),
+                "age": targets_lib.gate_targets_by_uncertainty(ta, th["age"]),
+            }
+        if cfg.target_kind == "enum":
+            t = targets_lib.enumerated_ot_targets(probs["race"])
+            return {"race": targets_lib.gate_targets_by_uncertainty(t, th["race"])}
+        raise ValueError(cfg.target_kind)
+
+    # ------------------------------------------------------------------
+    def train_step(
+        self,
+        state: DebiasState,
+        prompt_ids: tuple[jax.Array, jax.Array],  # (cond_ids, uncond_ids) [1,S]
+        root_key: jax.Array,
+    ) -> tuple[DebiasState, dict]:
+        cfg = self.cfg
+        step = state.step
+        n_steps = rng_lib.sample_num_denoising_steps(
+            root_key, step, cfg.steps_low, cfg.steps_high
+        )
+        noise_key = rng_lib.noise_key(root_key, step)
+        noises = jax.random.normal(
+            noise_key, self.sd.latent_shape(cfg.train_images_per_prompt)
+        )
+        if self.mesh is not None:
+            # lanes shard over the data axis; params replicated — XLA
+            # inserts the grad psum the reference did by hand (exp-1:1996-2011)
+            from fairdiff.parallel import shard_batch
+
+            noises = shard_batch(self.mesh, noises)
+        cond_ids_raw, uncond_ids_raw = prompt_ids
+        # phases 1/4 condition on the (possibly prefixed) debiaser prompt;
+        # phase 3's frozen originals use the plain prompt (exp-2:936 vs the
+        # plain prompt_i in its phase 3)
+        cond_ids = self._prefix_ids(cond_ids_raw)
+        uncond_ids = self._match_len(uncond_ids_raw, cond_ids)
+
+        # ---- phase 1: current model, analyse ----
+        _, res1 = self._sample_analyze_fn(n_steps, True)(
+            state.adapters, noises, cond_ids, uncond_ids
+        )
+        probs_host = {
+            a: np.asarray(res1.attrs[a].probs) for a in cfg.attributes
+        }
+
+        # ---- phase 2: dynamic targets (host, deterministic per step) ----
+        step_rng = np.random.default_rng(cfg.seed * 1_000_003 + step)
+        targets_np = self.make_targets(probs_host, step_rng)
+        targets = {a: jnp.asarray(v) for a, v in targets_np.items()}
+
+        # ---- phase 3: frozen model originals (plain prompt) ----
+        _, res3 = self._sample_analyze_fn(n_steps, False)(
+            None, noises, cond_ids_raw, uncond_ids_raw
+        )
+        ori = {
+            "face_bboxes": res3.faces.bboxes,
+            "clip_feats": res3.clip_feats,
+            "dino_feats": res3.dino_feats,
+            "face_feats": res3.face_feats,
+            "preds": {a: res3.attrs[a].preds for a in cfg.attributes},
+            "probs_max": {
+                a: res3.attrs[a].probs.max(axis=-1) for a in cfg.attributes
+            },
+        }
+
+        # ---- phase 4: micro-batched grads ----
+        n = cfg.train_images_per_prompt
+        m = cfg.train_micro_batch
+        n_chunks = -(-n // m)
+        grad_fn = self._grad_fn(n_steps)
+        grads = None
+        logs_acc: dict[str, list] = {}
+        for j in range(n_chunks):
+            sl = slice(j * m, min((j + 1) * m, n))
+            t_chunk = {a: v[sl] for a, v in targets.items()}
+            ori_chunk = jax.tree_util.tree_map(lambda x: x[sl], ori)
+            g, chunk_logs = grad_fn(
+                state.adapters, noises[sl], cond_ids, uncond_ids, t_chunk, ori_chunk
+            )
+            grads = g if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g
+            )
+            for k, v in chunk_logs.items():
+                logs_acc.setdefault(k, []).append(np.asarray(v))
+        grads = jax.tree_util.tree_map(lambda x: x / n_chunks, grads)
+
+        # ---- update: finite gate -> AdamW -> EMA ----
+        # torch_ema ramp-in decay (exp-1:823-824 semantics)
+        decay = min(cfg.ema_decay, (1.0 + step) / (10.0 + step))
+        new_adapters, new_opt, new_ema = self._update_fn()(
+            state.adapters, state.opt_state, state.ema, grads,
+            jnp.float32(decay),
+        )
+        new_state = DebiasState(new_adapters, new_opt, new_ema, step + 1)
+
+        logs = {
+            "num_denoising_steps": n_steps,
+            **metrics_lib.multi_attr_metrics(
+                probs_host, {a: np.asarray(res1.attrs[a].preds) for a in cfg.attributes}
+            ),
+        }
+        for k, vs in logs_acc.items():
+            v = np.concatenate(vs)
+            v = v[v != -1] if k in ("loss_fair", "loss_face") else v
+            if len(v):
+                logs[f"train_{k}"] = float(v.mean())
+        return new_state, logs
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        adapters: Optional[dict],
+        prompt_ids_list: list[tuple[jax.Array, jax.Array]],
+        root_key: jax.Array,
+    ) -> dict:
+        cfg = self.cfg
+        all_probs: dict[str, list] = {a: [] for a in cfg.attributes}
+        all_preds: dict[str, list] = {a: [] for a in cfg.attributes}
+        fn = self._sample_analyze_fn(cfg.eval_denoising_steps, adapters is not None)
+        for i, (cond_ids, uncond_ids) in enumerate(prompt_ids_list):
+            noises = jax.random.normal(
+                rng_lib.noise_key(root_key, 10_000_000 + i),
+                self.sd.latent_shape(cfg.val_images_per_prompt),
+            )
+            cond = self._prefix_ids(cond_ids) if adapters else cond_ids
+            _, res = fn(adapters, noises, cond, self._match_len(uncond_ids, cond))
+            for a in cfg.attributes:
+                all_probs[a].append(np.asarray(res.attrs[a].probs))
+                all_preds[a].append(np.asarray(res.attrs[a].preds))
+        probs = {a: np.concatenate(v) for a, v in all_probs.items()}
+        preds = {a: np.concatenate(v) for a, v in all_preds.items()}
+        return metrics_lib.multi_attr_metrics(probs, preds)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: DebiasState,
+        train_prompt_ids: list[tuple[jax.Array, jax.Array]],
+        val_prompt_ids: Optional[list] = None,
+        max_steps: Optional[int] = None,
+        checkpoint_cb: Optional[Callable[[DebiasState], None]] = None,
+    ) -> DebiasState:
+        cfg = self.cfg
+        root = rng_lib.root_key(cfg.seed)
+        max_steps = max_steps or cfg.max_train_steps
+        # identical shuffle on every host (reference seed+1, exp-1:916-921)
+        order_rng = np.random.default_rng(cfg.seed + 1)
+        order = order_rng.permutation(len(train_prompt_ids)).tolist()
+        pos = state.step % len(order)
+        while state.step < max_steps:
+            if pos >= len(order):
+                order = order_rng.permutation(len(train_prompt_ids)).tolist()
+                pos = 0
+            t0 = time.time()
+            state, logs = self.train_step(
+                state, train_prompt_ids[order[pos]], root
+            )
+            pos += 1
+            logs["step_time_s"] = time.time() - t0
+            self.logger(state.step, logs)
+            if val_prompt_ids and state.step % cfg.eval_interval == 0:
+                ev = self.evaluate(state.adapters, val_prompt_ids, root)
+                self.logger(state.step, {f"eval_{k}": v for k, v in ev.items()})
+                ev_ema = self.evaluate(state.ema, val_prompt_ids, root)
+                self.logger(
+                    state.step, {f"eval_ema_{k}": v for k, v in ev_ema.items()}
+                )
+            if checkpoint_cb:
+                checkpoint_cb(state)
+        return state

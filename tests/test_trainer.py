@@ -1,0 +1,148 @@
+"""End-to-end trainer integration on tiny models + synthetic guidance.
+
+The synthetic oracle detector/classifier make the full 4-phase step
+executable on the CPU mesh: detection always succeeds at a fixed box,
+attribute logits are a differentiable function of chip content, so the
+fairness loss has real gradients through the sampling chain.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fairdiff.guidance import geometry as geo
+from fairdiff.guidance.attributes import AttributeSlices
+from fairdiff.guidance.face_feats import FaceFeatsDB
+from fairdiff.models.face_detector import FaceDetections
+from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+from fairdiff.training.debias import DebiasConfig, DebiasTrainer
+from fairdiff.training.stack import GuidanceStack
+
+
+def _oracle_detect(images):
+    n = images.shape[0]
+    lms = (geo.ARCFACE_TEMPLATE - 56.0) * 0.3 + 32.0
+    return FaceDetections(
+        indicators=jnp.ones((n,), bool),
+        bboxes=jnp.tile(jnp.asarray([[16.0, 16.0, 48.0, 48.0]]), (n, 1)),
+        landmarks=jnp.tile(jnp.asarray(lms)[None], (n, 1, 1)),
+        scores=jnp.full((n,), 0.9),
+    )
+
+
+def _gender_slices():
+    return AttributeSlices(lambda logits: {"gender": logits[:, :2]})
+
+
+def _classifier(chips):
+    m = chips.mean(axis=(1, 2))  # [N,3]
+    return jnp.stack([m[:, 0] - m[:, 1], m[:, 1] - m[:, 0]], axis=-1) * 5.0
+
+
+def _feat_fn(images):
+    f = images.mean(axis=(1, 2))
+    return f / jnp.linalg.norm(f, axis=-1, keepdims=True).clip(1e-6)
+
+
+def _setup(**cfg_kwargs):
+    sd = StableDiffusion(SDConfig.tiny())
+    params = sd.init_params(jax.random.key(0))
+    db = FaceFeatsDB(
+        feats=jax.random.normal(jax.random.key(5), (6, 3))
+        / jnp.linalg.norm(jax.random.normal(jax.random.key(5), (6, 3)), axis=-1, keepdims=True),
+        genders=jnp.zeros(6, jnp.int32),
+        extra={},
+    )
+    guidance = GuidanceStack(
+        detect_fn=_oracle_detect,
+        classify_fn=_classifier,
+        slices=_gender_slices(),
+        clip_feat_fn=_feat_fn,
+        dino_feat_fn=_feat_fn,
+        face_embed_fn=lambda chips: chips.mean(axis=(1, 2)),
+        face_db=db,
+        chip_size=32,
+        aligned_size=32,
+        img_size_small=0,
+    )
+    base = dict(
+        train_text_encoder=True,
+        train_unet=False,
+        lora_rank=2,
+        train_images_per_prompt=4,
+        train_micro_batch=2,
+        steps_low=2,
+        steps_high=2,
+        val_images_per_prompt=2,
+        eval_denoising_steps=2,
+        max_train_steps=2,
+    )
+    base.update(cfg_kwargs)
+    cfg = DebiasConfig(**base)
+    trainer = DebiasTrainer(sd, params, guidance, cfg)
+    cond = jnp.array([[0, 5, 6, 63]], jnp.int32)
+    uncond = jnp.array([[0, 63, 1, 1]], jnp.int32)
+    return trainer, (cond, uncond)
+
+
+def test_train_step_updates_adapters():
+    trainer, prompt_ids = _setup()
+    state = trainer.init_state(jax.random.key(1))
+    before = jax.tree_util.tree_leaves(state.adapters["te_lora"])
+    root = jax.random.key(42)
+    state2, logs = trainer.train_step(state, prompt_ids, root)
+    assert state2.step == 1
+    after = jax.tree_util.tree_leaves(state2.adapters["te_lora"])
+    changed = any(
+        float(jnp.abs(a - b).max()) > 0 for a, b in zip(before, after)
+    )
+    assert changed, "adapters did not move"
+    assert np.isfinite(logs["train_loss"])
+    assert "gender_gap" in logs
+    # EMA tracked
+    assert all(
+        bool(jnp.all(jnp.isfinite(l)))
+        for l in jax.tree_util.tree_leaves(state2.ema)
+    )
+
+
+def test_fit_and_eval():
+    trainer, prompt_ids = _setup(eval_interval=1)
+    state = trainer.init_state(jax.random.key(1))
+    records = []
+    trainer.logger = lambda step, logs: records.append((step, logs))
+    state = trainer.fit(
+        state, [prompt_ids], val_prompt_ids=[prompt_ids], max_steps=2
+    )
+    assert state.step == 2
+    keys = set(k for _, logs in records for k in logs)
+    assert "eval_gender_gap" in keys and "eval_ema_gender_gap" in keys
+
+
+def test_unet_lora_training_path():
+    trainer, prompt_ids = _setup(train_text_encoder=False, train_unet=True)
+    state = trainer.init_state(jax.random.key(1))
+    state2, logs = trainer.train_step(state, prompt_ids, jax.random.key(42))
+    moved = any(
+        float(jnp.abs(l).max()) > 0
+        for l in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: a - b, state2.adapters["unet_lora"],
+                state.adapters["unet_lora"],
+            )
+        )
+    )
+    assert moved
+
+
+def test_prefix_training_path():
+    trainer, prompt_ids = _setup(
+        train_text_encoder=False, train_unet=False, train_prefix=True,
+        num_prefix_tokens=2,
+    )
+    state = trainer.init_state(jax.random.key(1))
+    state2, _ = trainer.train_step(state, prompt_ids, jax.random.key(42))
+    delta = float(
+        jnp.abs(state2.adapters["prefix"] - state.adapters["prefix"]).max()
+    )
+    assert delta > 0
