@@ -1,0 +1,144 @@
+"""Pallas TPU flash attention (non-causal) for the UNet/CLIP attention.
+
+The reference's xformers path is disabled in its own code (exp-1:781-796
+commented out); attention there is plain torch softmax(QK^T)V. On TPU the
+hot self-attention is the 4096-token latent attention in the UNet's top
+blocks — this kernel computes it with online softmax over K/V tiles so the
+[S, T] score matrix never materialises in HBM.
+
+Design:
+  - grid (batch*heads, q-blocks); K/V streamed through VMEM in BLOCK_T tiles
+  - fp32 accumulators/softmax stats regardless of input dtype
+  - head_dim padded to the 128-lane boundary inside the wrapper (SD-1.5
+    heads are 40/80/160-wide)
+  - backward: custom_vjp that recomputes attention with XLA einsums — the
+    UNet is rematerialised in the grad pass anyway (jax.checkpoint), so the
+    memory win of a Pallas backward is not on the critical path; forward
+    (phases 1/3, gen-images, eval) gets the full benefit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_S = 512
+BLOCK_T = 512
+LANES = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
+    """One (batch*head, q-block): online softmax over all K/V tiles."""
+    q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_S, D]
+    n_t = k_ref.shape[1] // BLOCK_T
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK_S, BLOCK_T]
+        # mask padded key rows
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * BLOCK_T
+        s = jnp.where(col < t_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((BLOCK_S, q_ref.shape[-1]), jnp.float32)
+    m0 = jnp.full((BLOCK_S, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((BLOCK_S, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_t, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(q, k, v):
+    """q [B,S,H,D], k/v [B,T,H,D] -> [B,S,H,D]."""
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    scale = D**-0.5
+
+    s_pad = -(-S // BLOCK_S) * BLOCK_S
+    t_pad = -(-T // BLOCK_T) * BLOCK_T
+    d_pad = -(-D // LANES) * LANES
+
+    def prep(x, s_to):
+        x = jnp.moveaxis(x, 2, 1).reshape(B * H, x.shape[1], D)
+        x = _pad_to(_pad_to(x, d_pad, 2), s_to, 1)
+        return x
+
+    qp = prep(q, s_pad)
+    kp = prep(k, t_pad)
+    vp = prep(v, t_pad)
+
+    grid = (B * H, s_pad // BLOCK_S)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, t_valid=T),
+        out_shape=jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_pad, d_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_pad, d_pad), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(qp, kp, vp)
+    out = out[:, :S, :D].reshape(B, H, S, D)
+    return jnp.moveaxis(out, 1, 2)
+
+
+def _xla_attention(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+@jax.custom_vjp
+def flash_attention(q, k, v):
+    return _flash_forward(q, k, v)
+
+
+def _fa_fwd(q, k, v):
+    return _flash_forward(q, k, v), (q, k, v)
+
+
+def _fa_bwd(res, g):
+    # recompute path (the UNet grad pass rematerialises here anyway)
+    q, k, v = res
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -1,0 +1,115 @@
+"""Production guidance-stack assembly from converted weights.
+
+The frozen zoo of the reference (exp-1-debias-gender/1-main-debias.py:
+929-994) wired into a GuidanceStack. Expected directory layout (each file
+produced by the fairdiff.io converters / tools):
+
+  <dir>/detector.npz            FaceDetectorNet params (flat npz tree)
+  <dir>/classifier.npz          MobileNetV3 attribute classifier
+  <dir>/clip_vision/            orbax tree (CLIP-ViT-H) [optional]
+  <dir>/dinov2/                 orbax tree (DINOv2 ViT-B/14) [optional]
+  <dir>/face_embedder.npz       SFNet backbone [optional]
+  <dir>/face_feats.pkl          CelebA face-feature DB [optional]
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from fairdiff.guidance.attributes import (
+    celeba_slices,
+    fairface_gender_race_age_slices,
+    fairface_gender_race_slices,
+)
+from fairdiff.guidance.face_feats import FaceFeatsDB
+from fairdiff.io.adapters_io import load_adapters
+from fairdiff.models.clip_vision import CLIPVisionConfig, CLIPVisionModel
+from fairdiff.models.dinov2 import DINOv2Config, DINOv2Model
+from fairdiff.models.face_detector import (
+    DetectorConfig,
+    FaceDetectorNet,
+    make_detect_fn,
+)
+from fairdiff.models.mobilenet_v3 import MobileNetV3Large
+from fairdiff.models.sfnet import SFNet, SFNetConfig
+from fairdiff.training.stack import (
+    GuidanceStack,
+    normalize_for_clip,
+    normalize_for_dino,
+)
+
+
+def _slices_for(attributes: tuple[str, ...]):
+    if attributes == ("gender",):
+        return celeba_slices(), 80
+    if attributes in (("gender", "race"), ("race",)):
+        return fairface_gender_race_slices(), 6
+    if attributes == ("gender", "race", "age"):
+        return fairface_gender_race_age_slices(), 8
+    raise ValueError(attributes)
+
+
+def load_guidance_stack(
+    directory: str | Path,
+    attributes: tuple[str, ...],
+    *,
+    dtype=jnp.bfloat16,
+) -> GuidanceStack:
+    d = Path(directory)
+    slices, n_logits = _slices_for(tuple(attributes))
+
+    det_cfg = DetectorConfig()
+    det_net = FaceDetectorNet(det_cfg, dtype=dtype)
+    detect_fn = make_detect_fn(det_net, load_adapters(d / "detector.npz"), det_cfg)
+
+    mnv3 = MobileNetV3Large(num_classes=n_logits, dtype=dtype)
+    mnv3_params = load_adapters(d / "classifier.npz")
+    classify_fn = lambda chips: mnv3.apply({"params": mnv3_params}, chips)
+
+    clip_fn = dino_fn = face_fn = None
+    if (d / "clip_vision").exists():
+        from fairdiff.io.checkpoints import load_params
+
+        clip = CLIPVisionModel(CLIPVisionConfig.vit_h14(), dtype=dtype)
+        clip_params = load_params(d, ["clip_vision"])["clip_vision"]
+
+        def clip_fn(images):
+            x = normalize_for_clip(images)
+            x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
+            e = clip.apply({"params": clip_params}, x)["image_embeds"]
+            e = e.astype(jnp.float32)
+            return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
+
+    if (d / "dinov2").exists():
+        from fairdiff.io.checkpoints import load_params
+
+        dino = DINOv2Model(DINOv2Config.vitb14(), dtype=dtype)
+        dino_params = load_params(d, ["dinov2"])["dinov2"]
+
+        def dino_fn(images):
+            x = normalize_for_dino(images)
+            x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
+            e = dino.apply({"params": dino_params}, x).astype(jnp.float32)
+            return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
+
+    if (d / "face_embedder.npz").exists():
+        sfnet = SFNet(SFNetConfig.sfnet20(), dtype=dtype)
+        sfnet_params = load_adapters(d / "face_embedder.npz")
+        face_fn = lambda chips: sfnet.apply({"params": sfnet_params}, chips)
+
+    face_db = None
+    if (d / "face_feats.pkl").exists():
+        face_db = FaceFeatsDB.from_pickle(d / "face_feats.pkl")
+
+    return GuidanceStack(
+        detect_fn=detect_fn,
+        classify_fn=classify_fn,
+        slices=slices,
+        clip_feat_fn=clip_fn,
+        dino_feat_fn=dino_fn,
+        face_embed_fn=face_fn,
+        face_db=face_db,
+    )
