@@ -16,7 +16,7 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 
-def emd_assignment(b: np.ndarray, cost: np.ndarray) -> np.ndarray:
+def emd_assignment(b: np.ndarray, cost: np.ndarray, *, native: bool = True) -> np.ndarray:
     """Optimal transport plan between a = ones(N) and integer masses b.
 
     Args:
@@ -30,12 +30,30 @@ def emd_assignment(b: np.ndarray, cost: np.ndarray) -> np.ndarray:
     n, c = cost.shape
     if int(b.sum()) != n:
         raise ValueError(f"mass mismatch: sum(b)={int(b.sum())} != N={n}")
+    if native:
+        from fairdiff.native.emd_lib import emd_assignment_native
+
+        plan = emd_assignment_native(b, cost)
+        if plan is not None:
+            return plan
     col_of = np.repeat(np.arange(c), b)  # expanded column -> class
     expanded = cost[:, col_of]  # [N, N]
     rows, cols = linear_sum_assignment(expanded)
     plan = np.zeros((n, c))
     plan[rows, col_of[cols]] = 1.0
     return plan
+
+
+def emd_batch(bs: np.ndarray, cost: np.ndarray) -> np.ndarray:
+    """Solve D EMDs against one cost matrix (the sampled-OT inner loop,
+    exp-3:1528-1532): bs [D, C] -> plans [D, N, C]. Uses the native C++
+    solver when available."""
+    from fairdiff.native.emd_lib import emd_batch_native
+
+    plans = emd_batch_native(np.asarray(bs), np.asarray(cost))
+    if plans is not None:
+        return plans
+    return np.stack([emd_assignment(b, cost, native=False) for b in bs])
 
 
 def emd_value(b: np.ndarray, cost: np.ndarray) -> float:

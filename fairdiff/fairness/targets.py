@@ -31,7 +31,7 @@ from typing import NamedTuple
 import numpy as np
 import scipy.stats
 
-from fairdiff.fairness.emd import emd_assignment
+from fairdiff.fairness.emd import emd_assignment, emd_batch
 
 
 class Targets(NamedTuple):
@@ -115,10 +115,8 @@ def sampled_ot_targets_2attr(
         (r_rand > 0.25).astype(int) + (r_rand > 0.5).astype(int) + (r_rand > 0.75).astype(int)
     )
     joint = g_draw * 4 + r_draw
-    target_probs = np.zeros((n, 8))
-    for d in range(num_samples):
-        b = np.bincount(joint[d], minlength=8)
-        target_probs += emd_assignment(b, cost)
+    bs = np.stack([np.bincount(joint[d], minlength=8) for d in range(num_samples)])
+    target_probs = emd_batch(bs, cost).sum(axis=0)
     target_probs /= target_probs[0].sum()
 
     marg_g = _marginal(target_probs, [[0, 1, 2, 3], [4, 5, 6, 7]])
@@ -169,11 +167,8 @@ def sampled_ot_targets_3attr(
     )
     a_draw = (rng.random((num_samples, n)) > age_young_ratio).astype(int)
     joint = g_draw * 8 + r_draw * 2 + a_draw
-
-    target_probs = np.zeros((n, 16))
-    for d in range(num_samples):
-        b = np.bincount(joint[d], minlength=16)
-        target_probs += emd_assignment(b, cost)
+    bs = np.stack([np.bincount(joint[d], minlength=16) for d in range(num_samples)])
+    target_probs = emd_batch(bs, cost).sum(axis=0)
     target_probs /= target_probs[0].sum()
 
     marg_g = _marginal(target_probs, [list(range(8)), list(range(8, 16))])
@@ -226,9 +221,8 @@ def enumerated_ot_targets(probs: np.ndarray, mass: float = 0.95) -> Targets:
     targets_pts = np.eye(k)
     cost = np.sqrt(((p[:, None, :] - targets_pts[None]) ** 2).sum(-1))
     combs, weights = enumerate_multinomial_combs(n, k, mass)
-    target_probs = np.zeros((n, k))
-    for b, w in zip(combs, weights):
-        target_probs += emd_assignment(b, cost) * w
+    plans = emd_batch(combs, cost)
+    target_probs = (plans * weights[:, None, None]).sum(axis=0)
     target_probs /= np.abs(target_probs).sum(axis=-1, keepdims=True)
     return _finalize(valid, target_probs)
 

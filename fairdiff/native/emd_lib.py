@@ -1,0 +1,99 @@
+"""ctypes loader for the native EMD solver (emd.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libfairdiff_emd.so"
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                str(_DIR / "emd.cpp"), "-o", str(_SO),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not _SO.exists() and not _build():
+        _build_failed = True
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.emd_assignment.restype = ctypes.c_int
+    lib.emd_assignment.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.emd_batch.restype = ctypes.c_int
+    lib.emd_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def emd_assignment_native(b: np.ndarray, cost: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float64)
+    b = np.ascontiguousarray(b, np.int64)
+    n, c = cost.shape
+    plan = np.zeros((n, c), np.float64)
+    rc = lib.emd_assignment(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n, c,
+        plan.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise ValueError(f"mass mismatch: sum(b)={int(b.sum())} != N={n}")
+    return plan
+
+
+def emd_batch_native(bs: np.ndarray, cost: np.ndarray) -> Optional[np.ndarray]:
+    """Solve D EMDs sharing one cost matrix: bs [D, C] -> plans [D, N, C]."""
+    lib = _load()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float64)
+    bs = np.ascontiguousarray(bs, np.int64)
+    d, c = bs.shape
+    n = cost.shape[0]
+    plans = np.zeros((d, n, c), np.float64)
+    rc = lib.emd_batch(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        bs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        d, n, c,
+        plans.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise ValueError("mass mismatch in batch")
+    return plans

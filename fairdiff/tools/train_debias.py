@@ -40,6 +40,10 @@ class TrainCLIConfig:
     tokenizer_dir: str = ""
     guidance_dir: str = ""  # converted detector/classifier/feat model params
     prompts_json: str = ""
+    # exp-5 multi-domain mixing: comma-separated json list + repeats
+    # (reference repeats x1/x6/x20/x4, exp-5:947)
+    multi_prompts_json: str = ""
+    multi_prompts_repeats: str = "1,6,20,4"
     output_dir: str = "outputs/debias"
     resume_from_checkpoint: bool = False
     use_wandb: bool = False
@@ -115,7 +119,15 @@ def main(cfg: TrainCLIConfig):
         tokenizer.eos_token_id = sd.config.text.vocab_size - 1
         tokenizer.pad_token_id = sd.config.text.vocab_size - 1
 
-    if cfg.prompts_json:
+    if cfg.multi_prompts_json:
+        from fairdiff.io.prompts import load_multi_domain_prompts
+
+        paths = cfg.multi_prompts_json.split(",")
+        repeats = [int(r) for r in cfg.multi_prompts_repeats.split(",")]
+        data = load_multi_domain_prompts(paths, repeats)
+        train_prompts = data["train_prompts"]
+        val_prompts = data.get("val_prompts") or train_prompts[:4]
+    elif cfg.prompts_json:
         data = load_occupation_prompts(cfg.prompts_json)
         train_prompts = data["train_prompts"]
         val_prompts = data.get("val_prompts", train_prompts[:4])
