@@ -134,6 +134,195 @@ class PairDataset:
         return verification_metrics(labels, scores, list(self.metrics_fprs))
 
 
+@dataclasses.dataclass
+class ItemDataset:
+    """Dataset over pre-built data_items dicts (opensphere/dataset/item_dataset.py).
+
+    Each item is an `image_pipeline` info dict ({"path": ..., optional
+    landmarks/crop_size}); used for ad-hoc feature extraction."""
+
+    data_items: list
+    test_mode: bool = True
+
+    def __len__(self):
+        return len(self.data_items)
+
+    def __getitem__(self, i):
+        return image_pipeline(self.data_items[i], self.test_mode), i
+
+
+class IJBDataset:
+    """IJB-B/C template-based 1:1 verification + 1:N identification
+    (opensphere/dataset/ijb_dataset.py:15-266), re-designed around
+    vectorized segment aggregation instead of per-template Python loops.
+
+    Metadata files (IJB distribution format):
+      - data_ann: `path x1 y1 ... x5 y5 faceness` per image (5-pt landmarks)
+      - tmpl_ann: `path tmpl_id media_id` per image (tid_mid file)
+      - gallery/probe_ann: CSV with header, cols `tmpl_id,subj_id,...`
+      - pair_ann: `tmpl_id0 tmpl_id1 label` verification pairs
+
+    Template features: each image feat is scaled by its faceness score and by
+    1/(#images sharing its media within the template), then averaged per
+    template and L2-normalized (ref feat2template:158-174).
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        meta_dir: str,
+        data_ann_file: str,
+        tmpl_ann_file: str,
+        gallery_ann_files: Sequence[str],
+        probe_ann_files: Sequence[str],
+        pair_ann_file: str,
+        src_landmark: Sequence[Sequence[float]],
+        test_mode: bool = True,
+    ):
+        self.data_dir = data_dir
+        self.src_landmark = np.asarray(src_landmark, np.float32).reshape(5, 2)
+        self.test_mode = test_mode
+        meta = Path(meta_dir)
+
+        # per-image landmarks + faceness
+        self.data_items = []
+        with open(meta / data_ann_file) as f:
+            for line in f:
+                terms = line.rstrip().split(" ")
+                self.data_items.append(
+                    {
+                        "path": terms[0],
+                        "tgz_landmark": np.asarray(
+                            [float(t) for t in terms[1:-1]], np.float32
+                        ).reshape(5, 2),
+                        "faceness": float(terms[-1]),
+                    }
+                )
+
+        # template/media structure -> flat segment arrays
+        tmpl_ids, media_ids = [], []
+        with open(meta / tmpl_ann_file) as f:
+            for line in f:
+                terms = line.rstrip().split(" ")
+                tmpl_ids.append(int(terms[1]))
+                media_ids.append(int(terms[2]))
+        tmpl_ids = np.asarray(tmpl_ids)
+        media_ids = np.asarray(media_ids)
+        uniq_tmpl, self._segments = np.unique(tmpl_ids, return_inverse=True)
+        self._tmpl_posn = {int(t): i for i, t in enumerate(uniq_tmpl)}
+        self.num_templates = len(uniq_tmpl)
+        # weight = 1 / (#images with same (template, media))
+        pair_key = tmpl_ids.astype(np.int64) * (media_ids.max() + 1) + media_ids
+        _, inv, counts = np.unique(pair_key, return_inverse=True, return_counts=True)
+        self._weights = (1.0 / counts[inv]).astype(np.float32)
+        self._tmpl_sizes = np.bincount(self._segments, minlength=self.num_templates)
+
+        # 1:N gallery/probe: first occurrence of each template wins (ref :106-120)
+        self.iden_info = {
+            "g": self._parse_1n(meta, gallery_ann_files),
+            "p": self._parse_1n(meta, probe_ann_files),
+        }
+        # 1:1 pairs
+        p0, p1, labels = [], [], []
+        with open(meta / pair_ann_file) as f:
+            for line in f:
+                t0, t1, lab = line.rstrip().split(" ")[:3]
+                p0.append(self._tmpl_posn[int(t0)])
+                p1.append(self._tmpl_posn[int(t1)])
+                labels.append(int(lab))
+        self.veri_info = {
+            "posn_ids0": np.asarray(p0),
+            "posn_ids1": np.asarray(p1),
+            "labels": np.asarray(labels),
+        }
+
+    def _parse_1n(self, meta: Path, ann_files: Sequence[str]) -> dict:
+        seen, posn_ids, subj_ids = set(), [], []
+        for ann in ann_files:
+            with open(meta / ann) as f:
+                for line in list(f)[1:]:
+                    terms = line.rstrip().split(",")
+                    tmpl_id, subj_id = int(terms[0]), int(terms[1])
+                    if tmpl_id in seen:
+                        continue
+                    seen.add(tmpl_id)
+                    posn_ids.append(self._tmpl_posn[tmpl_id])
+                    subj_ids.append(subj_id)
+        return {"posn_ids": np.asarray(posn_ids), "subj_ids": np.asarray(subj_ids)}
+
+    def __len__(self):
+        return len(self.data_items)
+
+    def __getitem__(self, idx):
+        item = self.data_items[idx]
+        info = {
+            "path": str(Path(self.data_dir) / item["path"]),
+            "src_landmark": self.src_landmark,
+            "tgz_landmark": item["tgz_landmark"],
+            "crop_size": [112, 112],
+        }
+        return image_pipeline(info, self.test_mode), idx
+
+    def feat2template(self, feats: np.ndarray) -> np.ndarray:
+        """(n_images, d) -> (n_templates, d) L2-normalized; one segment-sum
+        instead of the reference's per-template loop (ref :158-174)."""
+        faceness = np.asarray([it["faceness"] for it in self.data_items], np.float32)
+        weighted = feats * (faceness * self._weights)[:, None]
+        tmpl = np.zeros((self.num_templates, feats.shape[1]), np.float32)
+        np.add.at(tmpl, self._segments, weighted)
+        tmpl /= np.maximum(self._tmpl_sizes, 1)[:, None]
+        norms = np.linalg.norm(tmpl, axis=1, keepdims=True)
+        return tmpl / np.clip(norms, 1e-12, None)
+
+    def evaluate_11(
+        self, tmpl_feats: np.ndarray, fprs: Sequence[float] = tuple(10.0**p for p in range(-6, 0))
+    ) -> list[tuple[str, float]]:
+        f0 = tmpl_feats[self.veri_info["posn_ids0"]]
+        f1 = tmpl_feats[self.veri_info["posn_ids1"]]
+        scores = np.einsum("nd,nd->n", f0, f1)
+        metrics = verification_metrics(
+            self.veri_info["labels"].tolist(), scores.tolist(), list(fprs)
+        )
+        return [m for m in metrics if m[0].startswith("TPR")]
+
+    def evaluate_1n(
+        self,
+        tmpl_feats: np.ndarray,
+        topk: Sequence[int] = (1, 5, 10),
+        fpirs: Sequence[float] = (1e-2, 1e-1),
+    ) -> tuple[list[tuple[str, float]], list[tuple[str, float]]]:
+        g, p = self.iden_info["g"], self.iden_info["p"]
+        g_feats = tmpl_feats[g["posn_ids"]]
+        p_feats = tmpl_feats[p["posn_ids"]]
+        n_probe = len(p["subj_ids"])
+
+        scores = p_feats @ g_feats.T
+        order = np.argsort(-scores, axis=1)[:, : max(topk)]
+        correct = g["subj_ids"][order] == p["subj_ids"][:, None]
+        topk_accs = [
+            (f"top{k}", 100.0 * float(np.any(correct[:, :k], axis=1).mean()))
+            for k in topk
+        ]
+
+        mask = p["subj_ids"][:, None] == g["subj_ids"][None, :]
+        pos_scores = scores[mask]
+        neg_scores = np.sort(scores[~mask])[::-1]
+        tpirs = []
+        for fpir in fpirs:
+            k = int(np.ceil(fpir * n_probe))
+            th = neg_scores[k - 1]
+            tpirs.append(
+                (f"TPIR@FPIR={fpir}", 100.0 * float((pos_scores > th).sum()) / n_probe)
+            )
+        return topk_accs, tpirs
+
+    def evaluate(self, feats: np.ndarray) -> list[tuple[str, float]]:
+        tmpl_feats = self.feat2template(np.asarray(feats, np.float32))
+        tprs = self.evaluate_11(tmpl_feats)
+        topk_accs, tpirs = self.evaluate_1n(tmpl_feats)
+        return tprs + topk_accs + tpirs
+
+
 def verification_metrics(
     labels: list[int], scores: list[float], fprs: Optional[list[float]] = None
 ) -> list[tuple[str, float]]:

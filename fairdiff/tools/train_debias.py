@@ -56,6 +56,9 @@ class TrainCLIConfig:
     eval_interval: int = 0
     checkpoint_tmp_every: int = 20
     checkpoint_perm_every: int = 200
+    # >0: capture an xplane trace of the first N optimizer steps to
+    # <output_dir>/trace (view in Perfetto/TensorBoard)
+    profile_steps: int = 0
 
 
 def build_trainer(cfg: TrainCLIConfig):
@@ -155,6 +158,16 @@ def main(cfg: TrainCLIConfig):
     if cfg.resume_from_checkpoint and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"[train] resumed from step {state.step}")
+
+    if cfg.profile_steps > 0:
+        from fairdiff.utils.profiling import trace_to
+
+        with trace_to(Path(cfg.output_dir) / "trace"):
+            state = trainer.fit(
+                state, train_ids,
+                max_steps=state.step + cfg.profile_steps,
+            )
+        print(f"[train] trace written to {cfg.output_dir}/trace")
 
     state = trainer.fit(
         state, train_ids, val_prompt_ids=val_ids,

@@ -137,6 +137,9 @@ class DebiasTrainer:
         self.params = frozen_params
         self.logger = logger or (lambda step, logs: None)
         self._jit_cache: dict = {}
+        from fairdiff.utils.profiling import PhaseTimers
+
+        self.timers = PhaseTimers()
 
         schedule = optax.join_schedules(
             [
@@ -398,22 +401,25 @@ class DebiasTrainer:
         uncond_ids = self._match_len(uncond_ids_raw, cond_ids)
 
         # ---- phase 1: current model, analyse ----
-        _, res1 = self._sample_analyze_fn(n_steps, True)(
-            state.adapters, noises, cond_ids, uncond_ids
-        )
-        probs_host = {
-            a: np.asarray(res1.attrs[a].probs) for a in cfg.attributes
-        }
+        with self.timers("phase1_sample_analyze"):
+            _, res1 = self._sample_analyze_fn(n_steps, True)(
+                state.adapters, noises, cond_ids, uncond_ids
+            )
+            probs_host = {
+                a: np.asarray(res1.attrs[a].probs) for a in cfg.attributes
+            }
 
         # ---- phase 2: dynamic targets (host, deterministic per step) ----
-        step_rng = np.random.default_rng(cfg.seed * 1_000_003 + step)
-        targets_np = self.make_targets(probs_host, step_rng)
-        targets = {a: jnp.asarray(v) for a, v in targets_np.items()}
+        with self.timers("phase2_targets"):
+            step_rng = np.random.default_rng(cfg.seed * 1_000_003 + step)
+            targets_np = self.make_targets(probs_host, step_rng)
+            targets = {a: jnp.asarray(v) for a, v in targets_np.items()}
 
         # ---- phase 3: frozen model originals (plain prompt) ----
-        _, res3 = self._sample_analyze_fn(n_steps, False)(
-            None, noises, cond_ids_raw, uncond_ids_raw
-        )
+        with self.timers("phase3_frozen_sample"):
+            _, res3 = self._sample_analyze_fn(n_steps, False)(
+                None, noises, cond_ids_raw, uncond_ids_raw
+            )
         ori = {
             "face_bboxes": res3.faces.bboxes,
             "clip_feats": res3.clip_feats,
@@ -432,27 +438,30 @@ class DebiasTrainer:
         grad_fn = self._grad_fn(n_steps)
         grads = None
         logs_acc: dict[str, list] = {}
-        for j in range(n_chunks):
-            sl = slice(j * m, min((j + 1) * m, n))
-            t_chunk = {a: v[sl] for a, v in targets.items()}
-            ori_chunk = jax.tree_util.tree_map(lambda x: x[sl], ori)
-            g, chunk_logs = grad_fn(
-                state.adapters, noises[sl], cond_ids, uncond_ids, t_chunk, ori_chunk
-            )
-            grads = g if grads is None else jax.tree_util.tree_map(
-                jnp.add, grads, g
-            )
-            for k, v in chunk_logs.items():
-                logs_acc.setdefault(k, []).append(np.asarray(v))
-        grads = jax.tree_util.tree_map(lambda x: x / n_chunks, grads)
+        with self.timers("phase4_backward"):
+            for j in range(n_chunks):
+                sl = slice(j * m, min((j + 1) * m, n))
+                t_chunk = {a: v[sl] for a, v in targets.items()}
+                ori_chunk = jax.tree_util.tree_map(lambda x: x[sl], ori)
+                g, chunk_logs = grad_fn(
+                    state.adapters, noises[sl], cond_ids, uncond_ids, t_chunk, ori_chunk
+                )
+                grads = g if grads is None else jax.tree_util.tree_map(
+                    jnp.add, grads, g
+                )
+                for k, v in chunk_logs.items():
+                    logs_acc.setdefault(k, []).append(np.asarray(v))
+            grads = jax.tree_util.tree_map(lambda x: x / n_chunks, grads)
 
         # ---- update: finite gate -> AdamW -> EMA ----
         # torch_ema ramp-in decay (exp-1:823-824 semantics)
         decay = min(cfg.ema_decay, (1.0 + step) / (10.0 + step))
-        new_adapters, new_opt, new_ema = self._update_fn()(
-            state.adapters, state.opt_state, state.ema, grads,
-            jnp.float32(decay),
-        )
+        with self.timers("update"):
+            new_adapters, new_opt, new_ema = self._update_fn()(
+                state.adapters, state.opt_state, state.ema, grads,
+                jnp.float32(decay),
+            )
+            jax.block_until_ready(new_adapters)
         new_state = DebiasState(new_adapters, new_opt, new_ema, step + 1)
 
         logs = {
@@ -519,6 +528,10 @@ class DebiasTrainer:
             )
             pos += 1
             logs["step_time_s"] = time.time() - t0
+            # running per-phase means (device-synced; SURVEY.md §5.1)
+            logs.update(
+                {f"time_{k}_s": v for k, v in self.timers.summary().items()}
+            )
             self.logger(state.step, logs)
             if val_prompt_ids and state.step % cfg.eval_interval == 0:
                 ev = self.evaluate(state.adapters, val_prompt_ids, root)
