@@ -65,7 +65,7 @@ def build(quick: bool):
     det_cfg = DetectorConfig()
     det_net = FaceDetectorNet(det_cfg, dtype=jnp.bfloat16)
     det_params = det_net.init(key, jnp.zeros((1, 512, 512, 3)))["params"]
-    detect_fn = make_detect_fn(det_net, det_params, det_cfg)
+    detect_fn = make_detect_fn(det_net, det_cfg)
 
     mnv3 = MobileNetV3Large(num_classes=80, dtype=jnp.bfloat16)
     mnv3_params = mnv3.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
@@ -79,31 +79,41 @@ def build(quick: bool):
     sfnet = SFNet(SFNetConfig.sfnet20(), dtype=jnp.bfloat16)
     sfnet_params = sfnet.init(key, jnp.zeros((1, 112, 112, 3)))["params"]
 
-    def clip_fn(images):
+    def clip_fn(p, images):
         x = normalize_for_clip(images)
         x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
-        e = clip.apply({"params": clip_params}, x)["image_embeds"].astype(jnp.float32)
+        e = clip.apply({"params": p}, x)["image_embeds"].astype(jnp.float32)
         return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
 
-    def dino_fn(images):
+    def dino_fn(p, images):
         x = normalize_for_dino(images)
         x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
-        e = dino.apply({"params": dino_params}, x).astype(jnp.float32)
+        e = dino.apply({"params": p}, x).astype(jnp.float32)
         return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
 
     db_feats = jax.random.normal(key, (1024, 512))
     db_feats = db_feats / jnp.linalg.norm(db_feats, axis=-1, keepdims=True)
+    # frozen weights in stack.params: threaded through jit as arguments
     guidance = GuidanceStack(
         detect_fn=detect_fn,
-        classify_fn=lambda chips: mnv3.apply({"params": mnv3_params}, chips),
+        classify_fn=lambda p, chips: mnv3.apply({"params": p}, chips),
         slices=celeba_slices(),
         clip_feat_fn=clip_fn,
         dino_feat_fn=dino_fn,
-        face_embed_fn=lambda a: sfnet.apply({"params": sfnet_params}, a),
-        face_db=FaceFeatsDB(db_feats, jnp.zeros(1024, jnp.int32), {}),
+        face_embed_fn=lambda p, a: sfnet.apply({"params": p}, a),
         img_size_small=256,
+        params={
+            "detector": det_params,
+            "classifier": mnv3_params,
+            "clip": clip_params,
+            "dino": dino_params,
+            "face_embed": sfnet_params,
+            "face_db": FaceFeatsDB(db_feats, jnp.zeros(1024, jnp.int32), {}),
+        },
     )
-    cfg = exp1(steps_low=19, steps_high=19)  # fixed T: one compiled bucket
+    # fixed T: one compiled bucket. micro-batch 2 (not the A100-40GB's 4):
+    # phase-4 backprop through the 19-step chain must fit 16G of v5e HBM.
+    cfg = exp1(steps_low=19, steps_high=19, train_micro_batch=2)
     return sd, params, guidance, cfg
 
 

@@ -27,7 +27,7 @@ compatible torch checkpoint; the fairness trainer accepts any
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -200,11 +200,28 @@ def select_largest_face(
 
 
 def make_detect_fn(
-    net: FaceDetectorNet, params, config: DetectorConfig
-) -> Callable[[jax.Array], FaceDetections]:
-    def detect(images: jax.Array) -> FaceDetections:
+    net: FaceDetectorNet, params_or_config, config: Optional[DetectorConfig] = None
+) -> Callable[..., FaceDetections]:
+    """Two forms:
+      make_detect_fn(net, config)          -> detect(params, images)  (threaded;
+        the GuidanceStack passes params through jit as an argument)
+      make_detect_fn(net, params, config)  -> detect(images)          (closure)
+    """
+    if config is None:
+        cfg = params_or_config
+
+        def detect(params, images: jax.Array) -> FaceDetections:
+            raw = net.apply({"params": params}, images)
+            scores, boxes, kps = decode_detections(raw, cfg)
+            return select_largest_face(scores, boxes, kps, cfg.score_threshold)
+
+        return detect
+
+    params = params_or_config
+
+    def detect_closure(images: jax.Array) -> FaceDetections:
         raw = net.apply({"params": params}, images)
         scores, boxes, kps = decode_detections(raw, config)
         return select_largest_face(scores, boxes, kps, config.score_threshold)
 
-    return detect
+    return detect_closure

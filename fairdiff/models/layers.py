@@ -41,7 +41,10 @@ def dot_product_attention(
 ) -> jax.Array:
     """Multi-head attention core. fp32 softmax regardless of input dtype
     (the TPU analogue of the reference's fp16-with-fp32-softmax numerics)."""
-    if use_flash and bias is None:
+    # flash only where it wins: long-key self-attention (the 1024/4096-token
+    # UNet latents). Short keys (77-token cross-attn, 257-token CLIP) pad to
+    # the 512-lane tile and lose to the fused XLA softmax path.
+    if use_flash and bias is None and k.shape[1] >= 256:
         from fairdiff.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)

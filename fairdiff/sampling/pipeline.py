@@ -66,8 +66,12 @@ class SDConfig:
 class StableDiffusion:
     """Model bundle; all state lives in caller-owned param pytrees."""
 
-    def __init__(self, config: SDConfig = SDConfig.sd15(), *, use_flash: bool = False,
-                 remat: bool = False):
+    def __init__(self, config: SDConfig = SDConfig.sd15(), *,
+                 use_flash: Optional[bool] = None, remat: bool = False):
+        if use_flash is None:
+            # Pallas kernels need a real TPU; measured 1.8x on the whole
+            # UNet forward vs the XLA attention path (v5e, batch 4, 64x64)
+            use_flash = jax.default_backend() == "tpu"
         self.config = config
         dtype = jnp.dtype(config.dtype)
         self.text_encoder = CLIPTextModel(config.text, dtype=dtype)
@@ -166,7 +170,21 @@ class StableDiffusion:
             eps_fn, noises, bundle, guidance_scale=gs, grad_mode=grad_mode
         )
         latents = latents / cfg.vae.scaling_factor
-        images = self.vae.apply(
-            {"params": params["vae"]}, latents, method=self.vae.decode
-        )
+
+        def decode(vae_params, lat):
+            return self.vae.apply({"params": vae_params}, lat, method=self.vae.decode)
+
+        if grad_mode:
+            # grad-checkpoint the decoder like the reference's
+            # vae.enable_gradient_checkpointing (exp-1:748-749), and decode
+            # per-image under lax.map: the decoder's full-resolution
+            # GroupNorm temps dominate grad-pass HBM, and images are
+            # independent, so peak memory becomes one image's worth while
+            # spatial dims keep the MXU busy.
+            decode1 = jax.checkpoint(
+                lambda lat1: decode(params["vae"], lat1[None])[0]
+            )
+            images = jax.lax.map(decode1, latents)
+        else:
+            images = decode(params["vae"], latents)
         return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)

@@ -1,0 +1,78 @@
+"""Microbenchmark: Pallas flash attention vs XLA attention on the real chip.
+
+SD-1.5 UNet attention shapes (batch 4 = 2 images x CFG):
+  64x64 latents: S=T=4096, H=8, D=40   (top blocks — the hot one)
+  32x32 latents: S=T=1024, H=8, D=80
+  16x16 latents: S=T= 256, H=8, D=160
+  cross-attn:    S=4096,  T=77, H=8, D=40
+
+Usage: python -m fairdiff.tools.bench_attention [--dtype bf16]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from fairdiff.ops.flash_attention import _xla_attention, flash_attention
+
+SHAPES = [
+    ("self64", 4, 4096, 4096, 8, 40),
+    ("self32", 4, 1024, 1024, 8, 80),
+    ("self16", 4, 256, 256, 8, 160),
+    ("cross64", 4, 4096, 77, 8, 40),
+]
+
+
+def timeit(fn, q, k, v, iters=50):
+    """Time `iters` serialized calls inside ONE jit (a data-dependent scan),
+    so per-dispatch tunnel latency doesn't dominate the measurement."""
+
+    @jax.jit
+    def loop(q, k, v):
+        def body(c, _):
+            o = fn(q + c, k, v)
+            return (o.mean() * 1e-6).astype(q.dtype), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype), None, length=iters)
+        return c
+
+    jax.block_until_ready(loop(q, k, v))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(q, k, v))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dtype = jnp.bfloat16 if "--dtype" not in sys.argv or "bf16" in sys.argv else jnp.float32
+    key = jax.random.key(0)
+    print(f"device={jax.devices()[0].platform} dtype={dtype.__name__}")
+    for name, b, s, t, h, d in SHAPES:
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, s, h, d), dtype)
+        k = jax.random.normal(kk, (b, t, h, d), dtype)
+        v = jax.random.normal(kv, (b, t, h, d), dtype)
+        xla_fn = jax.jit(_xla_attention)
+        fl_fn = jax.jit(flash_attention)
+        t_xla = timeit(_xla_attention, q, k, v)
+        try:
+            t_fl = timeit(flash_attention, q, k, v)
+            # numeric agreement
+            err = float(
+                jnp.max(jnp.abs(xla_fn(q, k, v).astype(jnp.float32)
+                                - fl_fn(q, k, v).astype(jnp.float32)))
+            )
+        except Exception as e:
+            t_fl, err = float("nan"), float("nan")
+            print(f"  flash failed on {name}: {e}")
+        print(
+            f"{name:8s} xla {t_xla*1e3:8.3f} ms   flash {t_fl*1e3:8.3f} ms   "
+            f"speedup {t_xla/t_fl:5.2f}x   max|err| {err:.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -207,35 +207,44 @@ class DebiasTrainer:
         pad = jnp.tile(uncond_ids[:, -1:], (1, diff))
         return jnp.concatenate([uncond_ids, pad], axis=1)
 
+    @property
+    def _frozen(self):
+        """Frozen weights passed INTO jit as arguments (multi-GB trees must
+        be traced arguments, not closure-captured lowering constants)."""
+        return (self.params, self.guidance.params)
+
     def _sample_analyze_fn(self, n_steps: int, with_adapters: bool):
         key = ("sample", n_steps, with_adapters)
         if key not in self._jit_cache:
 
-            def fn(adapters, noises, cond_ids, uncond_ids):
+            def fn(frozen, adapters, noises, cond_ids, uncond_ids):
+                sd_params, gparams = frozen
                 images = self.sd.generate(
-                    self.params, noises,
+                    sd_params, noises,
                     cond_ids, uncond_ids, n_steps,
                     guidance_scale=self.cfg.guidance_scale,
                     **(self._gen_kwargs(adapters) if with_adapters else {}),
                 )
-                res = self.guidance.analyze(images)
+                res = self.guidance.analyze(images, params=gparams)
                 return images, res
 
-            self._jit_cache[key] = jax.jit(fn)
+            jitted = jax.jit(fn)
+            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
     def _chunk_loss(
-        self, adapters, noises, cond_ids, uncond_ids, n_steps,
+        self, frozen, adapters, noises, cond_ids, uncond_ids, n_steps,
         targets: dict, ori: dict,
     ):
         cfg = self.cfg
+        sd_params, gparams = frozen
         images = self.sd.generate(
-            self.params, noises, cond_ids, uncond_ids, n_steps,
+            sd_params, noises, cond_ids, uncond_ids, n_steps,
             guidance_scale=cfg.guidance_scale, grad_mode=True,
             **self._gen_kwargs(adapters),
         )
-        res = self.guidance.analyze(images, include_semantic=False)
+        res = self.guidance.analyze(images, include_semantic=False, params=gparams)
         ind = res.faces.indicators
 
         # fair CE per attribute (masked sum)
@@ -255,7 +264,7 @@ class DebiasTrainer:
             {a: ori["preds"][a] for a in cfg.attributes},
             cfg.factor_dict("f2"),
         )
-        clip_feats, dino_feats = self.guidance.semantic_feats(hooked)
+        clip_feats, dino_feats = self.guidance.semantic_feats(hooked, params=gparams)
         loss_clip = (
             loss_lib.cosine_loss(clip_feats, ori["clip_feats"])
             if clip_feats is not None else jnp.zeros(images.shape[0])
@@ -281,8 +290,9 @@ class DebiasTrainer:
                 for name in cfg.attributes:
                     face_valid = face_valid & (targets[name] != -1)
             searched = res.face_feats
-            if self.guidance.face_db is not None:
-                _, searched = self.guidance.face_db.semantic_search(
+            face_db = self.guidance.get_db(gparams)
+            if face_db is not None:
+                _, searched = face_db.semantic_search(
                     jax.lax.stop_gradient(res.face_feats)
                 )
             target_embeds = jnp.where(
@@ -315,13 +325,15 @@ class DebiasTrainer:
         key = ("grad", n_steps)
         if key not in self._jit_cache:
             fn = jax.grad(
-                lambda adapters, *a: self._chunk_loss(adapters, *a), has_aux=True
+                lambda adapters, frozen, *a: self._chunk_loss(frozen, adapters, *a),
+                has_aux=True,
             )
-            self._jit_cache[key] = jax.jit(
-                lambda adapters, noises, ci, ui, t, o: fn(
-                    adapters, noises, ci, ui, n_steps, t, o
+            jitted = jax.jit(
+                lambda frozen, adapters, noises, ci, ui, t, o: fn(
+                    adapters, frozen, noises, ci, ui, n_steps, t, o
                 )
             )
+            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
         return self._jit_cache[key]
 
     def _update_fn(self):

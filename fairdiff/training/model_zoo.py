@@ -61,25 +61,30 @@ def load_guidance_stack(
     d = Path(directory)
     slices, n_logits = _slices_for(tuple(attributes))
 
+    # All weights go into stack.params so the trainer can thread them
+    # through jit as arguments (not closure-captured lowering constants).
+    params: dict = {}
+
     det_cfg = DetectorConfig()
     det_net = FaceDetectorNet(det_cfg, dtype=dtype)
-    detect_fn = make_detect_fn(det_net, load_adapters(d / "detector.npz"), det_cfg)
+    params["detector"] = load_adapters(d / "detector.npz")
+    detect_fn = make_detect_fn(det_net, det_cfg)
 
     mnv3 = MobileNetV3Large(num_classes=n_logits, dtype=dtype)
-    mnv3_params = load_adapters(d / "classifier.npz")
-    classify_fn = lambda chips: mnv3.apply({"params": mnv3_params}, chips)
+    params["classifier"] = load_adapters(d / "classifier.npz")
+    classify_fn = lambda p, chips: mnv3.apply({"params": p}, chips)
 
     clip_fn = dino_fn = face_fn = None
     if (d / "clip_vision").exists():
         from fairdiff.io.checkpoints import load_params
 
         clip = CLIPVisionModel(CLIPVisionConfig.vit_h14(), dtype=dtype)
-        clip_params = load_params(d, ["clip_vision"])["clip_vision"]
+        params["clip"] = load_params(d, ["clip_vision"])["clip_vision"]
 
-        def clip_fn(images):
+        def clip_fn(p, images):
             x = normalize_for_clip(images)
             x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
-            e = clip.apply({"params": clip_params}, x)["image_embeds"]
+            e = clip.apply({"params": p}, x)["image_embeds"]
             e = e.astype(jnp.float32)
             return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
 
@@ -87,22 +92,21 @@ def load_guidance_stack(
         from fairdiff.io.checkpoints import load_params
 
         dino = DINOv2Model(DINOv2Config.vitb14(), dtype=dtype)
-        dino_params = load_params(d, ["dinov2"])["dinov2"]
+        params["dino"] = load_params(d, ["dinov2"])["dinov2"]
 
-        def dino_fn(images):
+        def dino_fn(p, images):
             x = normalize_for_dino(images)
             x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
-            e = dino.apply({"params": dino_params}, x).astype(jnp.float32)
+            e = dino.apply({"params": p}, x).astype(jnp.float32)
             return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
 
     if (d / "face_embedder.npz").exists():
         sfnet = SFNet(SFNetConfig.sfnet20(), dtype=dtype)
-        sfnet_params = load_adapters(d / "face_embedder.npz")
-        face_fn = lambda chips: sfnet.apply({"params": sfnet_params}, chips)
+        params["face_embed"] = load_adapters(d / "face_embedder.npz")
+        face_fn = lambda p, chips: sfnet.apply({"params": p}, chips)
 
-    face_db = None
     if (d / "face_feats.pkl").exists():
-        face_db = FaceFeatsDB.from_pickle(d / "face_feats.pkl")
+        params["face_db"] = FaceFeatsDB.from_pickle(d / "face_feats.pkl")
 
     return GuidanceStack(
         detect_fn=detect_fn,
@@ -111,5 +115,5 @@ def load_guidance_stack(
         clip_feat_fn=clip_fn,
         dino_feat_fn=dino_fn,
         face_embed_fn=face_fn,
-        face_db=face_db,
+        params=params,
     )

@@ -37,18 +37,45 @@ class AnalysisResult(NamedTuple):
 
 @dataclasses.dataclass
 class GuidanceStack:
-    detect_fn: Callable[[jax.Array], FaceDetections]
-    classify_fn: Callable[[jax.Array], jax.Array]  # chips -> raw logits
+    """Frozen-zoo callables.
+
+    Two wiring styles per component:
+      - closure style: `fn(x)` with weights baked in (synthetic oracles,
+        tiny tests) — `params` has no entry for that component;
+      - threaded style: `fn(component_params, x)` with the weight pytree in
+        `params[<name>]` — production. The trainer passes `params` through
+        jit as a real argument so multi-GB frozen weights are traced
+        arguments, NOT lowering constants baked into the HLO (a 7GB+
+        captured-constant bloat otherwise).
+    Component keys: detector, classifier, clip, dino, face_embed, face_db.
+    """
+
+    detect_fn: Callable[..., FaceDetections]
+    classify_fn: Callable[..., jax.Array]  # chips -> raw logits
     slices: AttributeSlices
-    clip_feat_fn: Optional[Callable[[jax.Array], jax.Array]] = None
-    dino_feat_fn: Optional[Callable[[jax.Array], jax.Array]] = None
-    face_embed_fn: Optional[Callable[[jax.Array], jax.Array]] = None
+    clip_feat_fn: Optional[Callable[..., jax.Array]] = None
+    dino_feat_fn: Optional[Callable[..., jax.Array]] = None
+    face_embed_fn: Optional[Callable[..., jax.Array]] = None
     face_db: Optional[FaceFeatsDB] = None
     chip_size: int = 224
     aligned_size: int = 112
     img_size_small: int = 256  # reference args.img_size_small resize
+    params: dict = dataclasses.field(default_factory=dict)
 
-    def analyze(self, images: jax.Array, include_semantic: bool = True) -> AnalysisResult:
+    def _call(self, fn, key: str, params: Optional[dict], x):
+        p = (params or self.params).get(key) if (params or self.params) else None
+        return fn(p, x) if p is not None else fn(x)
+
+    def get_db(self, params: Optional[dict] = None) -> Optional[FaceFeatsDB]:
+        p = params or self.params
+        return p.get("face_db") if p and "face_db" in p else self.face_db
+
+    def analyze(
+        self,
+        images: jax.Array,
+        include_semantic: bool = True,
+        params: Optional[dict] = None,
+    ) -> AnalysisResult:
         """Phases 1/3/4 shared analysis: faces -> attributes -> features.
         Everything batched/masked; differentiable w.r.t. images.
 
@@ -58,22 +85,28 @@ class GuidanceStack:
         exp-1:1903-1907)."""
         faces = analyze_faces(
             images,
-            self.detect_fn(images),
+            self._call(self.detect_fn, "detector", params, images),
             chip_size=self.chip_size,
             aligned_size=self.aligned_size,
         )
-        attrs = classify_faces(self.classify_fn, faces.chips, faces.indicators, self.slices)
+        attrs = classify_faces(
+            lambda chips: self._call(self.classify_fn, "classifier", params, chips),
+            faces.chips, faces.indicators, self.slices,
+        )
         face_feats = (
-            face_embeddings(self.face_embed_fn, faces.aligned)
+            face_embeddings(
+                lambda a: self._call(self.face_embed_fn, "face_embed", params, a),
+                faces.aligned,
+            )
             if self.face_embed_fn
             else None
         )
         clip_feats = dino_feats = None
         if include_semantic:
-            clip_feats, dino_feats = self.semantic_feats(images)
+            clip_feats, dino_feats = self.semantic_feats(images, params=params)
         return AnalysisResult(faces, attrs, clip_feats, dino_feats, face_feats)
 
-    def semantic_feats(self, images: jax.Array):
+    def semantic_feats(self, images: jax.Array, params: Optional[dict] = None):
         """CLIP/DINO preservation features on the resized image
         (reference img_size_small resize, exp-1:1904)."""
         small = images
@@ -82,8 +115,14 @@ class GuidanceStack:
             small = jax.image.resize(
                 images, (n, self.img_size_small, self.img_size_small, c), "bilinear"
             )
-        clip_feats = self.clip_feat_fn(small) if self.clip_feat_fn else None
-        dino_feats = self.dino_feat_fn(small) if self.dino_feat_fn else None
+        clip_feats = (
+            self._call(self.clip_feat_fn, "clip", params, small)
+            if self.clip_feat_fn else None
+        )
+        dino_feats = (
+            self._call(self.dino_feat_fn, "dino", params, small)
+            if self.dino_feat_fn else None
+        )
         return clip_feats, dino_feats
 
 
