@@ -53,16 +53,17 @@ def deep_merge(base: dict, override: dict) -> dict:
 
 
 def fill_config(config: dict) -> dict:
-    """`base`-block inheritance: every sub-dict may name a `base` YAML file
-    whose contents it overrides (opensphere/utils.py:44-52)."""
-    out = {}
-    for key, value in config.items():
-        if isinstance(value, dict) and "base" in value:
-            with open(value["base"]) as f:
-                base = yaml.safe_load(f)
-            value = deep_merge(base, {k: v for k, v in value.items() if k != "base"})
-        out[key] = value
-    return out
+    """`base`-block inheritance, applied recursively: any sub-dict at any
+    depth may name a `base` YAML file whose contents it overrides
+    (opensphere/utils.py:44-52)."""
+    if not isinstance(config, dict):
+        return config
+    if "base" in config:
+        with open(config["base"]) as f:
+            base = yaml.safe_load(f)
+        config = deep_merge(base, {k: v for k, v in config.items() if k != "base"})
+    return {k: fill_config(v) if isinstance(v, dict) else v
+            for k, v in config.items()}
 
 
 def build_backbone(cfg: dict):

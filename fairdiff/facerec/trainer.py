@@ -129,6 +129,7 @@ class FaceRecTrainer:
         log_every: int = 100,
         logger: Callable[[int, dict], None] = lambda s, l: None,
         val_fn: Optional[Callable[[dict], dict]] = None,
+        checkpoint_cb: Optional[Callable[[dict], None]] = None,
     ) -> dict:
         max_iters = max_iters or self.cfg.max_iters
         while state["step"] < max_iters:
@@ -140,6 +141,8 @@ class FaceRecTrainer:
                 logger(state["step"], {"loss": loss})
             if val_fn and state["step"] % self.cfg.val_interval == 0:
                 logger(state["step"], val_fn(state))
+            if checkpoint_cb:
+                checkpoint_cb(state)
         return state
 
     def extract_features(self, state: dict, images: jax.Array) -> jax.Array:

@@ -203,7 +203,10 @@ def denoise(
     the UNet consumes stop_gradient(latents) (exp-1:1115) and the guided
     epsilon's cotangent is rescaled by the per-step coefficient
     (exp-1:1128-1129). Parameters of eps_fn still receive gradients from
-    every step.
+    every step. The scan body is grad-checkpointed so backward saves only
+    each step's latent carry (the TPU form of the reference's per-layer
+    gradient checkpointing, exp-1:748-749) — without it the scan stacks
+    per-step UNet residuals across all T steps in HBM.
     """
     n_steps = bundle.t.shape[0]
     latents = latents.astype(jnp.float32)
@@ -222,7 +225,7 @@ def denoise(
         return (new_sample, m), None
 
     (final, _), _ = jax.lax.scan(
-        body,
+        jax.checkpoint(body) if grad_mode else body,
         (latents, jnp.zeros_like(latents)),
         jnp.arange(n_steps),
         unroll=unroll,

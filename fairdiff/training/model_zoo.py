@@ -61,17 +61,20 @@ def load_guidance_stack(
     d = Path(directory)
     slices, n_logits = _slices_for(tuple(attributes))
 
+    from fairdiff.io.checkpoints import cast_floats
+
     # All weights go into stack.params so the trainer can thread them
-    # through jit as arguments (not closure-captured lowering constants).
+    # through jit as arguments (not closure-captured lowering constants);
+    # frozen weights live in `dtype` (bf16 default — reference fp16 cast).
     params: dict = {}
 
     det_cfg = DetectorConfig()
     det_net = FaceDetectorNet(det_cfg, dtype=dtype)
-    params["detector"] = load_adapters(d / "detector.npz")
+    params["detector"] = cast_floats(load_adapters(d / "detector.npz"), dtype)
     detect_fn = make_detect_fn(det_net, det_cfg)
 
     mnv3 = MobileNetV3Large(num_classes=n_logits, dtype=dtype)
-    params["classifier"] = load_adapters(d / "classifier.npz")
+    params["classifier"] = cast_floats(load_adapters(d / "classifier.npz"), dtype)
     classify_fn = lambda p, chips: mnv3.apply({"params": p}, chips)
 
     clip_fn = dino_fn = face_fn = None
@@ -79,7 +82,7 @@ def load_guidance_stack(
         from fairdiff.io.checkpoints import load_params
 
         clip = CLIPVisionModel(CLIPVisionConfig.vit_h14(), dtype=dtype)
-        params["clip"] = load_params(d, ["clip_vision"])["clip_vision"]
+        params["clip"] = load_params(d, ["clip_vision"], cast=dtype)["clip_vision"]
 
         def clip_fn(p, images):
             x = normalize_for_clip(images)
@@ -92,7 +95,7 @@ def load_guidance_stack(
         from fairdiff.io.checkpoints import load_params
 
         dino = DINOv2Model(DINOv2Config.vitb14(), dtype=dtype)
-        params["dino"] = load_params(d, ["dinov2"])["dinov2"]
+        params["dino"] = load_params(d, ["dinov2"], cast=dtype)["dinov2"]
 
         def dino_fn(p, images):
             x = normalize_for_dino(images)
@@ -102,7 +105,7 @@ def load_guidance_stack(
 
     if (d / "face_embedder.npz").exists():
         sfnet = SFNet(SFNetConfig.sfnet20(), dtype=dtype)
-        params["face_embed"] = load_adapters(d / "face_embedder.npz")
+        params["face_embed"] = cast_floats(load_adapters(d / "face_embedder.npz"), dtype)
         face_fn = lambda p, chips: sfnet.apply({"params": p}, chips)
 
     if (d / "face_feats.pkl").exists():
