@@ -29,6 +29,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# reruns reuse compiled programs (first full compile is ~13 min)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 def build(quick: bool):
     from fairdiff.guidance.attributes import celeba_slices
@@ -59,8 +63,17 @@ def build(quick: bool):
         )
         return sd, params, synthetic_stack(("gender",)), cfg
 
-    sd = StableDiffusion(SDConfig.sd15(), remat=True)
-    params = sd.init_params(key)
+    # remat=False: the denoise scan body is already grad-checkpointed, so
+    # backward saves exactly one step's UNet activations; inner per-block
+    # remat would recompute the UNet a second time for no memory win.
+    sd = StableDiffusion(SDConfig.sd15(), remat=False)
+    # frozen weights in bf16 (the reference's fp16 inference cast,
+    # exp-1:722-794): halves HBM-resident arguments; LoRA stays f32
+    bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+    )
+    params = bf16(sd.init_params(key))
 
     det_cfg = DetectorConfig()
     det_net = FaceDetectorNet(det_cfg, dtype=jnp.bfloat16)
@@ -103,17 +116,22 @@ def build(quick: bool):
         face_embed_fn=lambda p, a: sfnet.apply({"params": p}, a),
         img_size_small=256,
         params={
-            "detector": det_params,
-            "classifier": mnv3_params,
-            "clip": clip_params,
-            "dino": dino_params,
-            "face_embed": sfnet_params,
+            **bf16({
+                "detector": det_params,
+                "classifier": mnv3_params,
+                "clip": clip_params,
+                "dino": dino_params,
+                "face_embed": sfnet_params,
+            }),
             "face_db": FaceFeatsDB(db_feats, jnp.zeros(1024, jnp.int32), {}),
         },
     )
-    # fixed T: one compiled bucket. micro-batch 2 (not the A100-40GB's 4):
-    # phase-4 backprop through the 19-step chain must fit 16G of v5e HBM.
-    cfg = exp1(steps_low=19, steps_high=19, train_micro_batch=2)
+    # fixed T: one compiled bucket (19 steps like training's lower bound)
+    mb = 4
+    for a in sys.argv:
+        if a.startswith("--micro_batch="):
+            mb = int(a.split("=")[1])
+    cfg = exp1(steps_low=19, steps_high=19, train_micro_batch=mb)
     return sd, params, guidance, cfg
 
 
@@ -132,12 +150,22 @@ def main():
     t0 = time.time()
     state, _ = trainer.train_step(state, (cond, uncond), root)  # compile+run
     compile_step = time.time() - t0
+    from fairdiff.utils.profiling import PhaseTimers
+
+    trainer.timers = PhaseTimers()  # drop compile-inflated phase samples
 
     n_timed = 1 if quick else 2
     t0 = time.time()
     for _ in range(n_timed):
         state, logs = trainer.train_step(state, (cond, uncond), root)
     step_time = (time.time() - t0) / n_timed
+
+    if "--trace" in sys.argv:
+        from fairdiff.utils.profiling import trace_to
+
+        with trace_to("/tmp/bench_trace"):
+            state, _ = trainer.train_step(state, (cond, uncond), root)
+        print("# trace -> /tmp/bench_trace", file=sys.stderr)
 
     n_chips = jax.device_count()
     chip_seconds = step_time * n_chips
@@ -150,9 +178,11 @@ def main():
     }
     print(json.dumps(result))
     if "--verbose" in sys.argv:
+        phases = {k: round(v, 2) for k, v in trainer.timers.summary().items()}
         print(
             f"# warmup(+compile) {compile_step:.1f}s, steady {step_time:.2f}s/step "
-            f"on {n_chips} chip(s); loss={logs.get('train_loss')}",
+            f"on {n_chips} chip(s); loss={logs.get('train_loss')}; "
+            f"phase_means_s={phases}",
             file=sys.stderr,
         )
 

@@ -336,6 +336,36 @@ class DebiasTrainer:
             self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
         return self._jit_cache[key]
 
+    def _grad_accum_fn(self, n_steps: int, n_chunks: int):
+        """All phase-4 micro-batches in ONE dispatch: lax.scan over chunks
+        accumulating adapter grads on-device. The per-chunk Python loop left
+        the chip idle between chunks (host round-trips dominated phase 4);
+        the scan removes every host boundary. Single-host path (the mesh
+        path keeps the Python loop so lanes stay sharded over devices)."""
+        key = ("grad_accum", n_steps, n_chunks)
+        if key not in self._jit_cache:
+            grad_core = jax.grad(
+                lambda adapters, frozen, *a: self._chunk_loss(frozen, adapters, *a),
+                has_aux=True,
+            )
+
+            def fn(frozen, adapters, noises_c, ci, ui, targets_c, ori_c):
+                def body(acc, inp):
+                    nz, t, o = inp
+                    g, logs = grad_core(adapters, frozen, nz, ci, ui, n_steps, t, o)
+                    return jax.tree_util.tree_map(jnp.add, acc, g), logs
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, adapters)
+                acc, logs = jax.lax.scan(
+                    body, zeros, (noises_c, targets_c, ori_c)
+                )
+                acc = jax.tree_util.tree_map(lambda x: x / n_chunks, acc)
+                return acc, logs
+
+            jitted = jax.jit(fn)
+            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
+        return self._jit_cache[key]
+
     def _update_fn(self):
         if "update" not in self._jit_cache:
 
@@ -447,23 +477,40 @@ class DebiasTrainer:
         n = cfg.train_images_per_prompt
         m = cfg.train_micro_batch
         n_chunks = -(-n // m)
-        grad_fn = self._grad_fn(n_steps)
-        grads = None
         logs_acc: dict[str, list] = {}
         with self.timers("phase4_backward"):
-            for j in range(n_chunks):
-                sl = slice(j * m, min((j + 1) * m, n))
-                t_chunk = {a: v[sl] for a, v in targets.items()}
-                ori_chunk = jax.tree_util.tree_map(lambda x: x[sl], ori)
-                g, chunk_logs = grad_fn(
-                    state.adapters, noises[sl], cond_ids, uncond_ids, t_chunk, ori_chunk
-                )
-                grads = g if grads is None else jax.tree_util.tree_map(
-                    jnp.add, grads, g
-                )
-                for k, v in chunk_logs.items():
-                    logs_acc.setdefault(k, []).append(np.asarray(v))
-            grads = jax.tree_util.tree_map(lambda x: x / n_chunks, grads)
+            if self.mesh is None and n % m == 0:
+                # one dispatch: scan over chunks on-device
+                to_chunks = lambda x: x.reshape(n_chunks, m, *x.shape[1:])
+                with self.timers("phase4_device"):
+                    grads, logs_st = self._grad_accum_fn(n_steps, n_chunks)(
+                        state.adapters,
+                        to_chunks(noises),
+                        cond_ids, uncond_ids,
+                        {a: to_chunks(v) for a, v in targets.items()},
+                        jax.tree_util.tree_map(to_chunks, ori),
+                    )
+                    jax.block_until_ready(grads)
+                with self.timers("phase4_log_fetch"):
+                    for k, v in logs_st.items():
+                        logs_acc[k] = [np.asarray(v).reshape(-1)]
+            else:
+                grad_fn = self._grad_fn(n_steps)
+                grads = None
+                for j in range(n_chunks):
+                    sl = slice(j * m, min((j + 1) * m, n))
+                    t_chunk = {a: v[sl] for a, v in targets.items()}
+                    ori_chunk = jax.tree_util.tree_map(lambda x: x[sl], ori)
+                    g, chunk_logs = grad_fn(
+                        state.adapters, noises[sl], cond_ids, uncond_ids,
+                        t_chunk, ori_chunk,
+                    )
+                    grads = g if grads is None else jax.tree_util.tree_map(
+                        jnp.add, grads, g
+                    )
+                    for k, v in chunk_logs.items():
+                        logs_acc.setdefault(k, []).append(np.asarray(v))
+                grads = jax.tree_util.tree_map(lambda x: x / n_chunks, grads)
 
         # ---- update: finite gate -> AdamW -> EMA ----
         # torch_ema ramp-in decay (exp-1:823-824 semantics)
