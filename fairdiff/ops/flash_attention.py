@@ -125,6 +125,28 @@ def _xla_attention(q, k, v):
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
+def flash_attention_tpu_lib(q, k, v):
+    """[B,S,H,D] attention through jax's library Pallas TPU flash kernels
+    (forward AND backward). NOTE: validated standalone and under a
+    checkpointed scan at SD-1.5 shapes, but its backward kernel faults
+    ("TPU device error") inside the full fairness-finetune gradient program
+    on v5e — kept for the no-grad path / future debugging; the default
+    `flash_attention` below uses the first-party forward kernel with an
+    XLA-recompute backward, which is stable in the full program."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as tpu_flash,
+    )
+
+    scale = q.shape[-1] ** -0.5
+    out = tpu_flash(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        sm_scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v):
     return _flash_forward(q, k, v)

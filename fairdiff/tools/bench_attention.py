@@ -20,10 +20,10 @@ import jax.numpy as jnp
 from fairdiff.ops.flash_attention import _xla_attention, flash_attention
 
 SHAPES = [
-    ("self64", 4, 4096, 4096, 8, 40),
-    ("self32", 4, 1024, 1024, 8, 80),
-    ("self16", 4, 256, 256, 8, 160),
-    ("cross64", 4, 4096, 77, 8, 40),
+    ("self64", 8, 4096, 4096, 8, 40),
+    ("self32", 8, 1024, 1024, 8, 80),
+    ("self16", 8, 256, 256, 8, 160),
+    ("cross64", 8, 4096, 77, 8, 40),
 ]
 
 

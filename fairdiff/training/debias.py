@@ -213,8 +213,12 @@ class DebiasTrainer:
         be traced arguments, not closure-captured lowering constants)."""
         return (self.params, self.guidance.params)
 
-    def _sample_analyze_fn(self, n_steps: int, with_adapters: bool):
-        key = ("sample", n_steps, with_adapters)
+    def _sample_analyze_fn(self, n_steps: int, with_adapters: bool,
+                           full: bool = True):
+        """full=False computes only detection + attribute heads (phase 1
+        consumes just the probability vectors for target generation; the
+        CLIP/DINO/face-embedding towers are phase-3/4 inputs only)."""
+        key = ("sample", n_steps, with_adapters, full)
         if key not in self._jit_cache:
 
             def fn(frozen, adapters, noises, cond_ids, uncond_ids):
@@ -225,7 +229,10 @@ class DebiasTrainer:
                     guidance_scale=self.cfg.guidance_scale,
                     **(self._gen_kwargs(adapters) if with_adapters else {}),
                 )
-                res = self.guidance.analyze(images, params=gparams)
+                res = self.guidance.analyze(
+                    images, include_semantic=full, include_face_feats=full,
+                    params=gparams,
+                )
                 return images, res
 
             jitted = jax.jit(fn)
@@ -444,7 +451,7 @@ class DebiasTrainer:
 
         # ---- phase 1: current model, analyse ----
         with self.timers("phase1_sample_analyze"):
-            _, res1 = self._sample_analyze_fn(n_steps, True)(
+            _, res1 = self._sample_analyze_fn(n_steps, True, full=False)(
                 state.adapters, noises, cond_ids, uncond_ids
             )
             probs_host = {
@@ -546,7 +553,9 @@ class DebiasTrainer:
         cfg = self.cfg
         all_probs: dict[str, list] = {a: [] for a in cfg.attributes}
         all_preds: dict[str, list] = {a: [] for a in cfg.attributes}
-        fn = self._sample_analyze_fn(cfg.eval_denoising_steps, adapters is not None)
+        fn = self._sample_analyze_fn(
+            cfg.eval_denoising_steps, adapters is not None, full=False
+        )
         for i, (cond_ids, uncond_ids) in enumerate(prompt_ids_list):
             noises = jax.random.normal(
                 rng_lib.noise_key(root_key, 10_000_000 + i),

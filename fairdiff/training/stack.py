@@ -74,6 +74,7 @@ class GuidanceStack:
         self,
         images: jax.Array,
         include_semantic: bool = True,
+        include_face_feats: bool = True,
         params: Optional[dict] = None,
     ) -> AnalysisResult:
         """Phases 1/3/4 shared analysis: faces -> attributes -> features.
@@ -98,7 +99,7 @@ class GuidanceStack:
                 lambda a: self._call(self.face_embed_fn, "face_embed", params, a),
                 faces.aligned,
             )
-            if self.face_embed_fn
+            if self.face_embed_fn and include_face_feats
             else None
         )
         clip_feats = dino_feats = None
