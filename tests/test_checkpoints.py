@@ -63,3 +63,29 @@ def test_plot_in_grid(tmp_path):
         probs_max=np.array([0.9, 0.6, -1, 0.7, 0.95, 0.5]),
     )
     assert out.exists() and out.stat().st_size > 500
+
+
+def test_cast_floats_and_sd_loader_cast(tmp_path):
+    import jax.numpy as jnp
+
+    from fairdiff.io.checkpoints import cast_floats, load_sd_params, save_params
+
+    tree = {
+        "w": np.ones((2, 2), np.float32),
+        "ids": np.arange(4, dtype=np.int32),
+        "nested": {"b": np.zeros((3,), np.float64)},
+    }
+    out = cast_floats(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["ids"].dtype == np.int32  # non-float passes through
+    assert out["nested"]["b"].dtype == jnp.bfloat16
+
+    save_params(tmp_path, {
+        "text_encoder": {"w": np.ones((2,), np.float32)},
+        "unet": {"w": np.ones((2,), np.float32)},
+        "vae": {"w": np.ones((2,), np.float32)},
+    })
+    loaded = load_sd_params(tmp_path)  # default bf16 residency
+    assert loaded["unet"]["w"].dtype == jnp.bfloat16
+    loaded32 = load_sd_params(tmp_path, cast=None)
+    assert loaded32["unet"]["w"].dtype == np.float32
