@@ -127,7 +127,9 @@ def build(quick: bool):
         },
     )
     # fixed T: one compiled bucket (19 steps like training's lower bound)
-    mb = 4
+    # micro-batch 8: best measured on v5e-16G (mb=12 OOMs, mb=4 wastes MXU
+    # batch; PERF.md)
+    mb = 8
     for a in sys.argv:
         if a.startswith("--micro_batch="):
             mb = int(a.split("=")[1])

@@ -31,6 +31,33 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
 }
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with an optional fused SiLU epilogue.
+
+    Drop-in for `nn.GroupNorm` (+ `jax.nn.silu`): same param names/shapes
+    (`scale`, `bias` of [C]), f32 statistics. On TPU, single-VMEM-pass
+    Pallas kernel when one sample's activation fits (fairdiff.ops.group_norm);
+    XLA everywhere else.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    use_silu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from fairdiff.ops.group_norm import fused_group_norm_silu
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return fused_group_norm_silu(
+            x.astype(self.dtype), scale, bias, self.num_groups, self.epsilon,
+            self.use_silu,
+        )
+
+
 def dot_product_attention(
     q: jax.Array,  # [B, S, H, D]
     k: jax.Array,  # [B, T, H, D]

@@ -11,15 +11,18 @@ Design:
   - fp32 accumulators/softmax stats regardless of input dtype
   - head_dim padded to the 128-lane boundary inside the wrapper (SD-1.5
     heads are 40/80/160-wide)
-  - backward: custom_vjp that recomputes attention with XLA einsums — the
-    UNet is rematerialised in the grad pass anyway (jax.checkpoint), so the
-    memory win of a Pallas backward is not on the critical path; forward
-    (phases 1/3, gen-images, eval) gets the full benefit.
+  - backward: first-party Pallas dq / dkv kernels (flash backward): the
+    forward additionally emits the softmax log-sum-exp (broadcast over a
+    128-lane minor dim, the TPU-friendly layout for per-row stats), and the
+    backward recomputes probabilities tile-by-tile so the [S, T] score
+    matrix never hits HBM in the grad pass either. Set
+    FAIRDIFF_FLASH_BWD=recompute to fall back to an XLA-recompute vjp.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +34,9 @@ BLOCK_T = 512
 LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_valid: int
+):
     """One (batch*head, q-block): online softmax over all K/V tiles."""
     q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_S, D]
     n_t = k_ref.shape[1] // BLOCK_T
@@ -58,8 +63,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_valid: int):
     acc0 = jnp.zeros((BLOCK_S, q_ref.shape[-1]), jnp.float32)
     m0 = jnp.full((BLOCK_S, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((BLOCK_S, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_t, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, n_t, body, (acc0, m0, l0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (BLOCK_S, LANES))
 
 
 def _pad_to(x, size, axis):
@@ -71,8 +78,15 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _flash_forward(q, k, v):
-    """q [B,S,H,D], k/v [B,T,H,D] -> [B,S,H,D]."""
+def _prep(x, s_to, d_pad):
+    """[B,S,H,D] -> [B*H, s_to, d_pad] (zero-padded)."""
+    B, S, H, D = x.shape
+    x = jnp.moveaxis(x, 2, 1).reshape(B * H, S, D)
+    return _pad_to(_pad_to(x, d_pad, 2), s_to, 1)
+
+
+def _flash_forward(q, k, v, with_lse: bool = False):
+    """q [B,S,H,D], k/v [B,T,H,D] -> [B,S,H,D] (and padded lse if asked)."""
     B, S, H, D = q.shape
     T = k.shape[1]
     scale = D**-0.5
@@ -81,19 +95,17 @@ def _flash_forward(q, k, v):
     t_pad = -(-T // BLOCK_T) * BLOCK_T
     d_pad = -(-D // LANES) * LANES
 
-    def prep(x, s_to):
-        x = jnp.moveaxis(x, 2, 1).reshape(B * H, x.shape[1], D)
-        x = _pad_to(_pad_to(x, d_pad, 2), s_to, 1)
-        return x
-
-    qp = prep(q, s_pad)
-    kp = prep(k, t_pad)
-    vp = prep(v, t_pad)
+    qp = _prep(q, s_pad, d_pad)
+    kp = _prep(k, t_pad, d_pad)
+    vp = _prep(v, t_pad, d_pad)
 
     grid = (B * H, s_pad // BLOCK_S)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, t_valid=T),
-        out_shape=jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((B * H, s_pad, LANES), jnp.float32),
+        ],
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -109,13 +121,164 @@ def _flash_forward(q, k, v):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BLOCK_S, LANES), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
     )(qp, kp, vp)
-    out = out[:, :S, :D].reshape(B, H, S, D)
-    return jnp.moveaxis(out, 1, 2)
+    out = jnp.moveaxis(out[:, :S, :D].reshape(B, H, S, D), 1, 2)
+    return (out, lse) if with_lse else out
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
+    *, scale: float, t_valid: int,
+):
+    """One (batch*head, q-block): dq = sum_tiles (p*(dO·V^T - delta))·K."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    dlt = dlt_ref[0][:, :1]
+    n_t = k_ref.shape[1] // BLOCK_T
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * BLOCK_T
+        s = jnp.where(col < t_valid, s, -jnp.inf)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dlt)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+    dq_ref[0] = (scale * jax.lax.fori_loop(0, n_t, body, acc0)).astype(
+        dq_ref.dtype
+    )
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dk_ref, dv_ref,
+    *, scale: float,
+):
+    """One (batch*head, k-block): dv = P^T·dO, dk = dS^T·Q over q-tiles.
+
+    Padded q rows carry dO == 0 and delta == 0 so they contribute nothing;
+    padded k rows only pollute output rows that the wrapper slices away.
+    """
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    n_s = q_ref.shape[1] // BLOCK_S
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :][:, :1]
+        dlt = dlt_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :][:, :1]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK_S, BLOCK_T]
+        p = jnp.exp(s - lse)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dlt)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((k.shape[0], k.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_s, body, (z, z))
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g):
+    """Flash backward: tile-recomputed probabilities, no [S,T] HBM buffer."""
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    scale = D**-0.5
+    s_pad = -(-S // BLOCK_S) * BLOCK_S
+    t_pad = -(-T // BLOCK_T) * BLOCK_T
+    d_pad = -(-D // LANES) * LANES
+
+    qp = _prep(q, s_pad, d_pad)
+    kp = _prep(k, t_pad, d_pad)
+    vp = _prep(v, t_pad, d_pad)
+    gp = _prep(g, s_pad, d_pad)
+
+    # delta_i = rowsum(dO * O), broadcast over the 128-lane stat layout
+    delta = jnp.einsum(
+        "bshd,bshd->bhs",
+        g.astype(jnp.float32),
+        o.astype(jnp.float32),
+    ).reshape(B * H, S)
+    delta = jnp.broadcast_to(
+        _pad_to(delta, s_pad, 1)[:, :, None], (B * H, s_pad, LANES)
+    )
+
+    qo_spec = pl.BlockSpec(
+        (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_full_spec = pl.BlockSpec(
+        (1, t_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    stat_spec = pl.BlockSpec(
+        (1, BLOCK_S, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, t_valid=T),
+        out_shape=jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype),
+        grid=(B * H, s_pad // BLOCK_S),
+        in_specs=[qo_spec, kv_full_spec, kv_full_spec, qo_spec, stat_spec,
+                  stat_spec],
+        out_specs=qo_spec,
+    )(qp, kp, vp, gp, lse, delta)
+
+    qo_full_spec = pl.BlockSpec(
+        (1, s_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, BLOCK_T, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    stat_full_spec = pl.BlockSpec(
+        (1, s_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, t_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, d_pad), v.dtype),
+        ],
+        grid=(B * H, t_pad // BLOCK_T),
+        in_specs=[qo_full_spec, kv_spec, kv_spec, qo_full_spec,
+                  stat_full_spec, stat_full_spec],
+        out_specs=[kv_spec, kv_spec],
+    )(qp, kp, vp, gp, lse, delta)
+
+    def unprep(x, n):
+        return jnp.moveaxis(x[:, :n, :D].reshape(B, H, n, D), 1, 2)
+
+    return unprep(dq, S), unprep(dk, T), unprep(dv, T)
 
 
 def _xla_attention(q, k, v):
@@ -130,9 +293,9 @@ def flash_attention_tpu_lib(q, k, v):
     (forward AND backward). NOTE: validated standalone and under a
     checkpointed scan at SD-1.5 shapes, but its backward kernel faults
     ("TPU device error") inside the full fairness-finetune gradient program
-    on v5e — kept for the no-grad path / future debugging; the default
-    `flash_attention` below uses the first-party forward kernel with an
-    XLA-recompute backward, which is stable in the full program."""
+    on v5e — kept only for comparison/debugging; the default
+    `flash_attention` below uses the first-party forward + dq/dkv backward
+    kernels, which are stable in the full program."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention as tpu_flash,
     )
@@ -153,14 +316,19 @@ def flash_attention(q, k, v):
 
 
 def _fa_fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "recompute":
+        return _flash_forward(q, k, v), (q, k, v, None, None)
+    o, lse = _flash_forward(q, k, v, with_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _fa_bwd(res, g):
-    # recompute path (the UNet grad pass rematerialises here anyway)
-    q, k, v = res
-    _, vjp = jax.vjp(_xla_attention, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    if lse is None:
+        # XLA-recompute fallback (materialises the [S,T] score matrix)
+        _, vjp = jax.vjp(_xla_attention, q, k, v)
+        return vjp(g)
+    return _flash_backward(q, k, v, o, lse, g)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

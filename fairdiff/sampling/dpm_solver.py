@@ -224,8 +224,22 @@ def denoise(
         new_sample, m = dpm_step(x0, sample, m_prev, bundle, i)
         return (new_sample, m), None
 
+    if grad_mode:
+        # FAIRDIFF_SCAN_REMAT=dots trades HBM for recompute: matmul
+        # outputs inside each step are saved instead of recomputed in the
+        # backward (viable once the flash backward freed score-matrix HBM);
+        # default "full" recomputes the whole step body.
+        import os
+
+        if os.environ.get("FAIRDIFF_SCAN_REMAT", "full") == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            body = jax.checkpoint(body)
     (final, _), _ = jax.lax.scan(
-        jax.checkpoint(body) if grad_mode else body,
+        body,
         (latents, jnp.zeros_like(latents)),
         jnp.arange(n_steps),
         unroll=unroll,

@@ -29,6 +29,10 @@ from fairdiff.utils.grids import plot_in_grid
 
 @dataclasses.dataclass(frozen=True)
 class EvalImagesConfig:
+    # jax backend override: "cpu" (with num_cpu_devices for a virtual
+    # mesh) or "" = default real-TPU backend
+    platform: str = ""
+    num_cpu_devices: int = 8
     generated_imgs_dir: str = "outputs/gen-images"
     save_dir: str = "outputs/eval-images"
     # converted held-out classifier params (.npz trees); '' => synthetic
@@ -80,6 +84,7 @@ def _load_stack(cfg: EvalImagesConfig):
 
 
 def main(cfg: EvalImagesConfig) -> dict:
+    cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     detect_fn, heads = _load_stack(cfg)
     root = Path(cfg.generated_imgs_dir)
     save_root = Path(cfg.save_dir)

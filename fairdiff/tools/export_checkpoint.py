@@ -24,6 +24,8 @@ from fairdiff.utils import config as cfglib
 
 @dataclasses.dataclass(frozen=True)
 class ExportConfig:
+    platform: str = ""  # jax backend override ("cpu" for virtual mesh)
+    num_cpu_devices: int = 8
     experiment: str = "exp1"
     checkpoint_dir: str = "outputs/debias/checkpoints"
     step: int = -1  # -1 => latest
@@ -33,6 +35,7 @@ class ExportConfig:
 
 
 def main(cfg: ExportConfig) -> Path:
+    cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     from fairdiff.tools.train_debias import TrainCLIConfig, build_trainer
     from fairdiff.training.checkpoints import DualCadenceCheckpointer
 

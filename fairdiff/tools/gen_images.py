@@ -39,6 +39,10 @@ from fairdiff.utils.rng import prompt_noise_key, root_key
 
 @dataclasses.dataclass(frozen=True)
 class GenImagesConfig:
+    # jax backend override: "cpu" (with num_cpu_devices for a virtual
+    # mesh) or "" = default real-TPU backend
+    platform: str = ""
+    num_cpu_devices: int = 8
     # model/weights
     model_dir: str = ""  # converted SD-1.5 params dir ('' => random init)
     tokenizer_dir: str = ""
@@ -70,6 +74,7 @@ def _load_params(sd: StableDiffusion, cfg: GenImagesConfig):
 
 
 def main(cfg: GenImagesConfig) -> list[Path]:
+    cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     sd_cfg = SDConfig.tiny() if cfg.tiny_smoke else SDConfig.sd15()
     sd = StableDiffusion(sd_cfg, remat=False)
     params = _load_params(sd, cfg)

@@ -35,6 +35,10 @@ from fairdiff.utils import config as cfglib
 
 @dataclasses.dataclass(frozen=True)
 class TrainCLIConfig:
+    # jax backend override: "cpu" (with num_cpu_devices for a virtual
+    # mesh) or "" = default real-TPU backend
+    platform: str = ""
+    num_cpu_devices: int = 8
     experiment: str = "exp1"
     model_dir: str = ""
     tokenizer_dir: str = ""
@@ -45,6 +49,9 @@ class TrainCLIConfig:
     multi_prompts_json: str = ""
     multi_prompts_repeats: str = "1,6,20,4"
     output_dir: str = "outputs/debias"
+    # optional YAML merged onto the experiment preset's DebiasConfig
+    # (full-hyperparameter control, reference exp-1:632-638 semantics)
+    debias_config: str = ""
     resume_from_checkpoint: bool = False
     use_wandb: bool = False
     tiny_smoke: bool = False
@@ -72,6 +79,8 @@ def build_trainer(cfg: TrainCLIConfig):
         if v:
             overrides[field] = v
     dcfg: DebiasConfig = preset(**overrides)
+    if cfg.debias_config:
+        dcfg = cfglib.load_yaml(dcfg, cfg.debias_config)
 
     if cfg.tiny_smoke:
         sd = StableDiffusion(SDConfig.tiny())
@@ -114,6 +123,7 @@ def tokenize_prompts(sd, tokenizer, prompts: list[str], tiny: bool):
 
 
 def main(cfg: TrainCLIConfig):
+    cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     sd, trainer, dcfg = build_trainer(cfg)
     tokenizer = load_tokenizer(cfg.tokenizer_dir or None)
     if cfg.tiny_smoke:

@@ -20,6 +20,8 @@ from fairdiff.utils import config as cfglib
 
 @dataclasses.dataclass(frozen=True)
 class DetTrainConfig:
+    platform: str = ""  # jax backend override ("cpu" for virtual mesh)
+    num_cpu_devices: int = 8
     steps: int = 2000
     batch_size: int = 16
     image_size: int = 128
@@ -31,6 +33,7 @@ class DetTrainConfig:
 
 
 def main(cfg: DetTrainConfig):
+    cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     det_cfg = DetectorConfig.tiny() if cfg.tiny else DetectorConfig()
     net = FaceDetectorNet(det_cfg)
     params = net.init(

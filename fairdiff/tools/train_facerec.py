@@ -49,6 +49,10 @@ from fairdiff.utils import config as cfglib
 
 @dataclasses.dataclass(frozen=True)
 class FaceRecCLIConfig:
+    # jax backend override: "cpu" (with num_cpu_devices for a virtual
+    # mesh) or "" = default real-TPU backend
+    platform: str = ""
+    num_cpu_devices: int = 8
     config: str = ""
     output_dir: str = "outputs/facerec"
     max_iters: int = 0  # 0 => config value
@@ -102,6 +106,7 @@ def build_all(cli: FaceRecCLIConfig):
 
 
 def main(cli: FaceRecCLIConfig):
+    cfglib.apply_platform(cli.platform, cli.num_cpu_devices)
     trainer, train_ds, val_ds, batch_size, in_size = build_all(cli)
     out = Path(cli.output_dir)
     out.mkdir(parents=True, exist_ok=True)

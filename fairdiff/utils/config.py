@@ -84,6 +84,23 @@ def to_dict(config: Any) -> dict[str, Any]:
     return dataclasses.asdict(config)
 
 
+def apply_platform(platform: str, num_cpu_devices: int = 0) -> None:
+    """Select the jax backend from a CLI flag.
+
+    The container's sitecustomize imports jax at interpreter boot with
+    JAX_PLATFORMS=axon, so plain env vars are too late for CLIs — this
+    goes through jax.config, which works any time before first backend
+    use. `platform="cpu"` + num_cpu_devices=N gives the virtual N-device
+    CPU mesh used for multi-chip testing (SURVEY.md §4)."""
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+    if platform == "cpu" and num_cpu_devices:
+        jax.config.update("jax_num_cpu_devices", num_cpu_devices)
+
+
 def cli_parse(cls: Type[T], argv: list[str] | None = None) -> T:
     """argparse front-end: `--config file.yaml` plus `--key value` overrides
     for any scalar dataclass field (parity with the reference CLIs)."""
