@@ -37,6 +37,18 @@ def _iresnet(variant: str) -> Callable[..., IResNet]:
 
 BACKBONES: dict[str, Callable[..., Any]] = {
     **{v: _sfnet(v) for v in ("sfnet4", "sfnet10", "sfnet20", "sfnet36", "sfnet64")},
+    # legacy pre-act-residual variants (sfnet_deprecated.py)
+    **{
+        f"{v}_deprecated": (
+            lambda variant=v, **kw: SFNet(
+                dataclasses.replace(
+                    getattr(SFNetConfig, variant)(),
+                    pre_act_residual=True, **kw,
+                )
+            )
+        )
+        for v in ("sfnet4", "sfnet10", "sfnet20", "sfnet36", "sfnet64")
+    },
     **{v: _iresnet(v) for v in ("iresnet18", "iresnet34", "iresnet50", "iresnet100")},
 }
 

@@ -29,6 +29,10 @@ class SFNetConfig:
     channels: tuple[int, int, int, int] = (64, 128, 256, 512)
     out_channel: int = 512
     in_size: int = 112
+    # True: the legacy "sfnet*_deprecated" block ordering
+    # (opensphere/model/backbone/sfnet_deprecated.py:71-84 — ReLU applied
+    # BEFORE the residual add, no post-add ReLU); False: current sfnet.py
+    pre_act_residual: bool = False
 
     @classmethod
     def sfnet4(cls):
@@ -70,12 +74,15 @@ class _ConvBlock(nn.Module):
 class _BasicBlock(nn.Module):
     planes: int
     dtype: jnp.dtype = jnp.float32
+    pre_act_residual: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
         h = jax.nn.relu(h)
         h = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if self.pre_act_residual:  # legacy sfnet_deprecated ordering
+            return jax.nn.relu(h) + x
         return jax.nn.relu(x + h)
 
 
@@ -89,7 +96,10 @@ class SFNet(nn.Module):
         for li, (n_blocks, ch) in enumerate(zip(cfg.layers, cfg.channels), 1):
             x = _ConvBlock(ch, 2, self.dtype, name=f"layer{li}_0")(x)
             for bi in range(n_blocks):
-                x = _BasicBlock(ch, self.dtype, name=f"layer{li}_{bi + 1}")(x)
+                x = _BasicBlock(
+                    ch, self.dtype, cfg.pre_act_residual,
+                    name=f"layer{li}_{bi + 1}",
+                )(x)
         x = x.reshape(x.shape[0], -1)  # NHWC flatten
         return nn.Dense(cfg.out_channel, dtype=self.dtype, name="fc")(x)
 

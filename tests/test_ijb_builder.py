@@ -119,7 +119,23 @@ def test_builder_backbones_and_heads(tmp_path):
     fn, kwargs = build_head({"type": "CosFace", "s": 30.0, "m": 0.2,
                              "feat_dim": 64, "num_class": 10})
     assert callable(fn) and kwargs == {"s": 30.0, "m": 0.2}
-    assert set(BACKBONES) >= {"sfnet20", "sfnet64", "iresnet100"}
+    assert set(BACKBONES) >= {"sfnet20", "sfnet64", "iresnet100",
+                              "sfnet20_deprecated"}
+
+    # legacy pre-act-residual variant (sfnet_deprecated.py): same params,
+    # different block ordering -> different output
+    net3 = build_backbone({
+        "type": "sfnet4_deprecated", "out_channel": 64, "in_size": 32,
+        "layers": (0, 1, 0, 0),
+    })
+    net4 = build_backbone({
+        "type": "sfnet4", "out_channel": 64, "in_size": 32,
+        "layers": (0, 1, 0, 0),
+    })
+    x = jnp.ones((1, 32, 32, 3))
+    p3 = net3.init(jax.random.key(1), x)
+    assert net3.apply(p3, x).shape == (1, 64)
+    assert float(jnp.abs(net3.apply(p3, x) - net4.apply(p3, x)).max()) > 0
 
     # base-block YAML inheritance (opensphere fill_config semantics)
     base = tmp_path / "base.yml"
