@@ -35,9 +35,14 @@ LANES = 128
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, t_valid: int
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, scale: float, t_valid: int
 ):
-    """One (batch*head, q-block): online softmax over all K/V tiles."""
+    """One (batch*head, q-block): online softmax over all K/V tiles.
+
+    lse_ref is only present in grad mode (custom_vjp forward): emitting the
+    log-sum-exp costs an extra [B*H, S, 128] f32 HBM write, which at
+    phase-1/3 batch sizes is ~1GB per attention call — the no-grad path
+    compiles the kernel without it."""
     q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_S, D]
     n_t = k_ref.shape[1] // BLOCK_T
 
@@ -66,7 +71,8 @@ def _flash_kernel(
     acc, m, l = jax.lax.fori_loop(0, n_t, body, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (BLOCK_S, LANES))
+    if lse_ref is not None:
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (BLOCK_S, LANES))
 
 
 def _pad_to(x, size, axis):
@@ -99,41 +105,33 @@ def _flash_forward(q, k, v, with_lse: bool = False):
     kp = _prep(k, t_pad, d_pad)
     vp = _prep(v, t_pad, d_pad)
 
-    grid = (B * H, s_pad // BLOCK_S)
-    out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, t_valid=T),
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((B * H, s_pad, LANES), jnp.float32),
-        ],
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, t_pad, d_pad), lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, t_pad, d_pad), lambda b, i: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+    qo_spec = pl.BlockSpec(
+        (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, t_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shapes = [jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype)]
+    out_specs = [qo_spec]
+    if with_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B * H, s_pad, LANES), jnp.float32)
+        )
+        out_specs.append(
             pl.BlockSpec(
                 (1, BLOCK_S, LANES), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
-            ),
-        ],
+            )
+        )
+    res = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, t_valid=T),
+        out_shape=out_shapes,
+        grid=(B * H, s_pad // BLOCK_S),
+        in_specs=[qo_spec, kv_spec, kv_spec],
+        out_specs=out_specs,
     )(qp, kp, vp)
-    out = jnp.moveaxis(out[:, :S, :D].reshape(B, H, S, D), 1, 2)
-    return (out, lse) if with_lse else out
+    out = jnp.moveaxis(res[0][:, :S, :D].reshape(B, H, S, D), 1, 2)
+    return (out, res[1]) if with_lse else out
 
 
 def _bwd_dq_kernel(

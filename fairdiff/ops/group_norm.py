@@ -163,6 +163,10 @@ def _gn_forward(x, scale, bias, groups, eps, apply_silu):
         out_specs=pl.BlockSpec(
             (1, rows, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
+        # let XLA reuse the activation's HBM buffer for the output when x
+        # is dead after the norm (a plain fusion gets this for free; a
+        # custom-call needs the aliasing declared)
+        input_output_aliases={0: 0},
     )(xr, scale.reshape(1, C), bias.reshape(1, C))
     return out.reshape(shape)
 

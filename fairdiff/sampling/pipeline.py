@@ -186,5 +186,14 @@ class StableDiffusion:
             )
             images = jax.lax.map(decode1, latents)
         else:
-            images = decode(params["vae"], latents)
+            # decode in small chunks: a single batch-N decode holds ~N x
+            # 0.55G of full-resolution decoder temps (13.6G of the 16G HBM
+            # at N=24 — the phase-1 OOM edge); chunking bounds the arena at
+            # ~4 images while 512^2 spatial dims keep the MXU busy.
+            chunk = next(c for c in (4, 3, 2, 1) if N % c == 0)
+            images = jax.lax.map(
+                lambda lc: decode(params["vae"], lc),
+                latents.reshape((N // chunk, chunk) + latents.shape[1:]),
+            )
+            images = images.reshape((N,) + images.shape[2:])
         return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)

@@ -146,3 +146,30 @@ def test_grad_mode_param_gradients():
     # without grad_mode the latent gradient differs (UNet path not detached)
     g_lat2 = jax.grad(make_loss(False), argnums=1)(jnp.float32(0.5), lat)
     assert not np.allclose(np.asarray(g_lat), np.asarray(g_lat2))
+
+
+def test_scan_remat_dots_policy_matches_full(monkeypatch):
+    """FAIRDIFF_SCAN_REMAT=dots (matmul-saveable checkpoint policy) must be
+    a pure perf knob: identical gradients to the default full-remat scan."""
+    cfg = dpm.DPMSolverConfig()
+    sched = dpm.make_schedule(cfg)
+    bundle = dpm.make_step_bundle(cfg, sched, 5)
+    w = jax.random.normal(jax.random.key(1), (4, 4))
+
+    def loss(theta, lat):
+        def eps_fn(l2, t):
+            return jnp.tanh(l2 @ theta)
+
+        out = dpm.denoise(
+            eps_fn, lat, bundle, guidance_scale=2.0, grad_mode=True
+        )
+        return (out**2).sum()
+
+    lat = jax.random.normal(jax.random.key(0), (1, 2, 2, 4))
+    monkeypatch.delenv("FAIRDIFF_SCAN_REMAT", raising=False)
+    g_full = jax.jit(jax.grad(loss))(w, lat)
+    monkeypatch.setenv("FAIRDIFF_SCAN_REMAT", "dots")
+    g_dots = jax.jit(jax.grad(loss))(w, lat)
+    np.testing.assert_allclose(
+        np.asarray(g_full), np.asarray(g_dots), rtol=1e-6, atol=1e-6
+    )
