@@ -10,6 +10,7 @@ arbitrary strings), and recursive dict merge for base-inheritance.
 from __future__ import annotations
 
 import dataclasses
+from pathlib import Path
 from typing import Any, Callable
 
 import yaml
@@ -64,17 +65,21 @@ def deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
-def fill_config(config: dict) -> dict:
+def fill_config(config: dict, base_dir: str | None = None) -> dict:
     """`base`-block inheritance, applied recursively: any sub-dict at any
     depth may name a `base` YAML file whose contents it overrides
-    (opensphere/utils.py:44-52)."""
+    (opensphere/utils.py:44-52). Relative `base` paths resolve against
+    `base_dir` (normally the including file's directory)."""
     if not isinstance(config, dict):
         return config
     if "base" in config:
-        with open(config["base"]) as f:
+        path = Path(config["base"])
+        if base_dir is not None and not path.is_absolute():
+            path = Path(base_dir) / path
+        with open(path) as f:
             base = yaml.safe_load(f)
         config = deep_merge(base, {k: v for k, v in config.items() if k != "base"})
-    return {k: fill_config(v) if isinstance(v, dict) else v
+    return {k: fill_config(v, base_dir) if isinstance(v, dict) else v
             for k, v in config.items()}
 
 

@@ -64,7 +64,7 @@ class FaceRecCLIConfig:
 
 def build_all(cli: FaceRecCLIConfig):
     with open(cli.config) as f:
-        cfg = fill_config(yaml.safe_load(f))
+        cfg = fill_config(yaml.safe_load(f), base_dir=Path(cli.config).parent)
 
     train_ds_cfg = dict(cfg["data"]["train"]["dataset"])
     assert train_ds_cfg.pop("type") == "ClassDataset"

@@ -64,3 +64,56 @@ trainer:
     logs = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     assert any("loss" in l for l in logs)
     assert any("EER" in l for l in logs)  # validation ran at step 2
+
+
+def test_shipped_facerec_configs_build():
+    """Every fairdiff/configs/facerec YAML must resolve (base inheritance)
+    and build its backbone + head."""
+    from pathlib import Path
+
+    import yaml
+
+    import jax
+    import jax.numpy as jnp
+    from fairdiff.facerec.builder import build_backbone, build_head, fill_config
+
+    cfg_dir = Path("fairdiff/configs/facerec")
+    ymls = [p for p in cfg_dir.glob("*.yml") if p.name != "base.yml"]
+    assert len(ymls) >= 3
+    for p in ymls:
+        cfg = fill_config(yaml.safe_load(p.read_text()), base_dir=p.parent)
+        assert cfg["trainer"]["lr"] == 0.1, p  # from base.yml
+        net = build_backbone(cfg["model"]["backbone"])
+        params = net.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
+        out = net.apply(params, jnp.zeros((1, 112, 112, 3)))
+        assert out.shape == (1, cfg["model"]["backbone"]["out_channel"]), p
+        fn, kwargs = build_head(cfg["model"]["head"])
+        assert callable(fn), p
+
+
+def test_create_facerec_list(tmp_path):
+    """List creator writes sorted, relative, integer-labeled lines that
+    ClassDataset consumes directly."""
+    import numpy as np
+    from PIL import Image
+
+    from fairdiff.facerec.datasets import ClassDataset
+    from fairdiff.tools.create_facerec_list import CreateListConfig, create_list
+
+    root = tmp_path / "train"
+    for cls in ("id_b", "id_a"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                np.zeros((8, 8, 3), np.uint8)
+            ).save(d / f"img{i}.jpg")
+    (root / "id_a" / "notes.txt").write_text("skip me")
+
+    out = create_list(CreateListConfig(dataset_dir=str(root),
+                                       list_path=str(tmp_path / "ann.txt")))
+    lines = out.read_text().splitlines()
+    assert len(lines) == 4
+    assert lines[0].split()[1] == "0" and lines[-1].split()[1] == "1"
+    ds = ClassDataset(data_dir=str(root), ann_path=str(out))
+    assert ds.num_classes == 2 and len(ds.items) == 4
