@@ -28,6 +28,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # reruns reuse compiled programs (first full compile is ~13 min)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -137,8 +138,49 @@ def build(quick: bool):
     return sd, params, guidance, cfg
 
 
+def bench_generation():
+    """Secondary metric (BASELINE.json north star): images/sec for
+    50-step DPM-Solver++ CFG generation, batch 10 (gen-images.py defaults:
+    30-step default there, 50-step here per the driver's metric name)."""
+    from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+
+    sd = StableDiffusion(SDConfig.sd15())
+    bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+    )
+    params = bf16(sd.init_params(jax.random.key(0)))
+    N = 10
+    noises = jax.random.normal(jax.random.key(1), sd.latent_shape(N))
+    v = sd.config.text.vocab_size
+    cond = jnp.full((1, 77), v - 1, jnp.int32).at[0, 0].set(0)
+    uncond = jnp.full((1, 77), v - 1, jnp.int32).at[0, 0].set(0)
+
+    fn = jax.jit(
+        lambda p, n: sd.generate(p, n, cond, uncond, 50)
+    )
+    imgs = fn(params, noises)
+    _ = np.asarray(imgs[0, 0, 0])  # force execution (tunnel: bup is async)
+    t0 = time.time()
+    imgs = fn(params, noises)
+    _ = np.asarray(imgs[0, 0, 0])
+    dt = time.time() - t0
+    ips = N / dt
+    print(json.dumps({
+        "metric": "gen_images_per_sec_50step_dpm",
+        "value": round(ips, 3),
+        "unit": "img/s",
+        # reference: single A100 fp16, 30-step batch-10 "2-3 s/img" README
+        # scale; no published 50-step number -> report absolute only
+        "vs_baseline": round(ips, 3),
+    }))
+
+
 def main():
     quick = "--quick" in sys.argv
+    if "--gen" in sys.argv:
+        bench_generation()
+        return
     from fairdiff.training.debias import DebiasTrainer
 
     sd, params, guidance, cfg = build(quick)

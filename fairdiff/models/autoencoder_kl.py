@@ -16,7 +16,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fairdiff.models.layers import FusedGroupNorm
 from fairdiff.models.unet2d import Downsample2D, ResnetBlock2D, Upsample2D
 
 
@@ -49,9 +48,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
-        h = FusedGroupNorm(
-            self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm"
-        )(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -95,10 +92,8 @@ class Encoder(nn.Module):
         h = ResnetBlock2D(
             ch[-1], cfg.norm_num_groups, use_temb=False, dtype=self.dtype, name="mid_resnet_1"
         )(h)
-        h = FusedGroupNorm(
-            cfg.norm_num_groups, epsilon=1e-6, use_silu=True, dtype=self.dtype,
-            name="conv_norm_out",
-        )(h)
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
+        h = jax.nn.silu(h)
         return nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
@@ -131,10 +126,8 @@ class Decoder(nn.Module):
                 )(h)
             if i < len(ch) - 1:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
-        h = FusedGroupNorm(
-            cfg.norm_num_groups, epsilon=1e-6, use_silu=True, dtype=self.dtype,
-            name="conv_norm_out",
-        )(h)
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
+        h = jax.nn.silu(h)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)

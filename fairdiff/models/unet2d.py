@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fairdiff.models.layers import FusedGroupNorm, dot_product_attention
+from fairdiff.models.layers import dot_product_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,20 +101,16 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_ch = x.shape[-1]
-        h = FusedGroupNorm(
-            self.groups, epsilon=self.eps, use_silu=True, dtype=self.dtype,
-            name="norm1",
-        )(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 jax.nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = FusedGroupNorm(
-            self.groups, epsilon=self.eps, use_silu=True, dtype=self.dtype,
-            name="norm2",
-        )(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(
@@ -203,9 +199,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
         residual = x
-        h = FusedGroupNorm(
-            self.groups, epsilon=1e-6, dtype=self.dtype, name="norm"
-        )(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         h = BasicTransformerBlock(
@@ -368,9 +362,9 @@ class UNet2DCondition(nn.Module):
             if i < len(ch) - 1:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = FusedGroupNorm(
-            cfg.norm_num_groups, epsilon=cfg.norm_eps, use_silu=True,
-            dtype=self.dtype, name="conv_norm_out",
+        h = nn.GroupNorm(
+            cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out"
         )(h)
+        h = jax.nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return h

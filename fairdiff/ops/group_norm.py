@@ -15,8 +15,15 @@ result is written straight back out: 1 read + 1 write instead of 3 passes.
 
 Applies only when one sample's activation fits comfortably in VMEM (all
 UNet resolutions do; the VAE's 512^2 layers fall back to XLA). Backward is
-an XLA-recompute vjp: the UNet gradient pass rematerialises the block
-anyway, so the forward saving is collected in every phase.
+an XLA-recompute vjp.
+
+STATUS (measured on v5e, PERF.md): NOT integrated into the models. The
+forward win is small (these shapes are VPU-bound: ~8% at 64^2x320, ~0
+elsewhere), and the recompute-vjp costs one extra forward pass per
+GroupNorm in the gradient phase — a full-step bench regressed 47.8 ->
+58.2 chip*s with this wired into the UNet/VAE. Kept as an opt-in module
+(models.layers.FusedGroupNorm) pending an analytic/Pallas backward that
+would remove the extra pass.
 """
 
 from __future__ import annotations

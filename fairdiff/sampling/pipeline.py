@@ -186,11 +186,11 @@ class StableDiffusion:
             )
             images = jax.lax.map(decode1, latents)
         else:
-            # decode in small chunks: a single batch-N decode holds ~N x
-            # 0.55G of full-resolution decoder temps (13.6G of the 16G HBM
-            # at N=24 — the phase-1 OOM edge); chunking bounds the arena at
-            # ~4 images while 512^2 spatial dims keep the MXU busy.
-            chunk = next(c for c in (4, 3, 2, 1) if N % c == 0)
+            # decode in chunks: a single batch-N decode holds ~N x 0.55G of
+            # full-resolution decoder temps (13.6G of the 16G HBM at N=24 —
+            # the phase-1 OOM edge); chunks of 8 bound the arena at ~4.5G
+            # with negligible serialization cost at 512^2 spatial dims.
+            chunk = next(c for c in (8, 6, 4, 3, 2, 1) if N % c == 0)
             images = jax.lax.map(
                 lambda lc: decode(params["vae"], lc),
                 latents.reshape((N // chunk, chunk) + latents.shape[1:]),

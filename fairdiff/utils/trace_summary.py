@@ -38,8 +38,8 @@ _BUCKET_RES = [
     ("matmul", re.compile(r"^%?(dot|cublas|gemm)")),
     ("attention-pallas", re.compile(r"flash|attn", re.I)),
     ("pallas", re.compile(r"custom-call|tpu_custom_call", re.I)),
-    ("fusion", re.compile(r"^%?(fusion|loop_fusion|input_fusion)")),
-    ("reduce", re.compile(r"^%?(reduce|convert_reduce)")),
+    ("reduce", re.compile(r"^%?(reduce|convert_reduce)|_reduce_fusion")),
+    ("fusion", re.compile(r"fusion")),
     ("copy/transpose", re.compile(r"^%?(copy|transpose|bitcast|reshape)")),
     ("collective", re.compile(r"all-reduce|all-gather|reduce-scatter|psum")),
 ]
@@ -71,13 +71,40 @@ def summarize_trace(
             if "XLA Ops" in str(e.get("args", {}).get("name", "")):
                 xla_tids.add((e.get("pid"), e.get("tid")))
 
-    per_op: dict[str, list] = collections.defaultdict(lambda: [0.0, 0])
+    # self time: events on one thread nest (while/call scopes contain their
+    # body ops) — subtract each event's children so scopes don't double
+    # count. Stack-sweep over start-sorted events per thread.
+    per_tid: dict[tuple, list] = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in xla_tids:
             continue
-        name = e.get("name", "?")
-        per_op[name][0] += e.get("dur", 0) / 1e6
-        per_op[name][1] += 1
+        per_tid[(e["pid"], e["tid"])].append(
+            (e.get("ts", 0), e.get("dur", 0), e.get("name", "?"))
+        )
+
+    per_op: dict[str, list] = collections.defaultdict(lambda: [0.0, 0])
+    for rows in per_tid.values():
+        rows.sort(key=lambda r: (r[0], -r[1]))
+        # stack entries: [end_ts, name, dur_us, child_us]
+        stack: list[list] = []
+
+        def finalize(entry):
+            _, name, dur_us, child_us = entry
+            per_op[name][0] += max(dur_us - child_us, 0) / 1e6
+            per_op[name][1] += 1
+
+        for ts, dur, name in rows:
+            while stack and ts >= stack[-1][0]:
+                done = stack.pop()
+                finalize(done)
+                if stack:
+                    stack[-1][3] += done[2]
+            stack.append([ts + dur, name, dur, 0.0])
+        while stack:
+            done = stack.pop()
+            finalize(done)
+            if stack:
+                stack[-1][3] += done[2]
 
     by_bucket: dict[str, float] = collections.defaultdict(float)
     for name, (sec, _) in per_op.items():
