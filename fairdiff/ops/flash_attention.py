@@ -9,8 +9,9 @@ blocks — this kernel computes it with online softmax over K/V tiles so the
 Design:
   - grid (batch*heads, q-blocks); K/V streamed through VMEM in BLOCK_T tiles
   - fp32 accumulators/softmax stats regardless of input dtype
-  - head_dim padded to the 128-lane boundary inside the wrapper (SD-1.5
-    heads are 40/80/160-wide)
+  - head_dim stays at its native width in HBM (SD-1.5 heads are
+    40/80/160-wide); Mosaic lane-pads blocks in VMEM, so no 3.2x-amplified
+    padded copies are written
   - backward: first-party Pallas dq / dkv kernels (flash backward): the
     forward additionally emits the softmax log-sum-exp (broadcast over a
     128-lane minor dim, the TPU-friendly layout for per-row stats), and the
@@ -84,11 +85,16 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _prep(x, s_to, d_pad):
-    """[B,S,H,D] -> [B*H, s_to, d_pad] (zero-padded)."""
+def _prep(x, s_to):
+    """[B,S,H,D] -> [B*H, s_to, D] (seq zero-padded).
+
+    D is deliberately NOT padded to the 128-lane boundary in HBM: Mosaic
+    lane-pads blocks in VMEM for free, and writing a 128-wide copy of a
+    40-wide head costs 3.2x the bytes (measured ~6% of kernel wall time).
+    """
     B, S, H, D = x.shape
     x = jnp.moveaxis(x, 2, 1).reshape(B * H, S, D)
-    return _pad_to(_pad_to(x, d_pad, 2), s_to, 1)
+    return _pad_to(x, s_to, 1)
 
 
 def _flash_forward(q, k, v, with_lse: bool = False):
@@ -99,19 +105,18 @@ def _flash_forward(q, k, v, with_lse: bool = False):
 
     s_pad = -(-S // BLOCK_S) * BLOCK_S
     t_pad = -(-T // BLOCK_T) * BLOCK_T
-    d_pad = -(-D // LANES) * LANES
 
-    qp = _prep(q, s_pad, d_pad)
-    kp = _prep(k, t_pad, d_pad)
-    vp = _prep(v, t_pad, d_pad)
+    qp = _prep(q, s_pad)
+    kp = _prep(k, t_pad)
+    vp = _prep(v, t_pad)
 
     qo_spec = pl.BlockSpec(
-        (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, BLOCK_S, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     kv_spec = pl.BlockSpec(
-        (1, t_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, t_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    out_shapes = [jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((B * H, s_pad, D), q.dtype)]
     out_specs = [qo_spec]
     if with_lse:
         out_shapes.append(
@@ -130,7 +135,7 @@ def _flash_forward(q, k, v, with_lse: bool = False):
         in_specs=[qo_spec, kv_spec, kv_spec],
         out_specs=out_specs,
     )(qp, kp, vp)
-    out = jnp.moveaxis(res[0][:, :S, :D].reshape(B, H, S, D), 1, 2)
+    out = jnp.moveaxis(res[0][:, :S].reshape(B, H, S, D), 1, 2)
     return (out, res[1]) if with_lse else out
 
 
@@ -216,12 +221,11 @@ def _flash_backward(q, k, v, o, lse, g):
     scale = D**-0.5
     s_pad = -(-S // BLOCK_S) * BLOCK_S
     t_pad = -(-T // BLOCK_T) * BLOCK_T
-    d_pad = -(-D // LANES) * LANES
 
-    qp = _prep(q, s_pad, d_pad)
-    kp = _prep(k, t_pad, d_pad)
-    vp = _prep(v, t_pad, d_pad)
-    gp = _prep(g, s_pad, d_pad)
+    qp = _prep(q, s_pad)
+    kp = _prep(k, t_pad)
+    vp = _prep(v, t_pad)
+    gp = _prep(g, s_pad)
 
     # delta_i = rowsum(dO * O), broadcast over the 128-lane stat layout
     delta = jnp.einsum(
@@ -234,10 +238,10 @@ def _flash_backward(q, k, v, o, lse, g):
     )
 
     qo_spec = pl.BlockSpec(
-        (1, BLOCK_S, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, BLOCK_S, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     kv_full_spec = pl.BlockSpec(
-        (1, t_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, t_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     stat_spec = pl.BlockSpec(
         (1, BLOCK_S, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -245,7 +249,7 @@ def _flash_backward(q, k, v, o, lse, g):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, t_valid=T),
-        out_shape=jax.ShapeDtypeStruct((B * H, s_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, s_pad, D), q.dtype),
         grid=(B * H, s_pad // BLOCK_S),
         in_specs=[qo_spec, kv_full_spec, kv_full_spec, qo_spec, stat_spec,
                   stat_spec],
@@ -253,10 +257,10 @@ def _flash_backward(q, k, v, o, lse, g):
     )(qp, kp, vp, gp, lse, delta)
 
     qo_full_spec = pl.BlockSpec(
-        (1, s_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, s_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     kv_spec = pl.BlockSpec(
-        (1, BLOCK_T, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, BLOCK_T, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     stat_full_spec = pl.BlockSpec(
         (1, s_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
@@ -264,8 +268,8 @@ def _flash_backward(q, k, v, o, lse, g):
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale),
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, t_pad, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((B * H, t_pad, d_pad), v.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, D), v.dtype),
         ],
         grid=(B * H, t_pad // BLOCK_T),
         in_specs=[qo_full_spec, kv_spec, kv_spec, qo_full_spec,
@@ -274,7 +278,7 @@ def _flash_backward(q, k, v, o, lse, g):
     )(qp, kp, vp, gp, lse, delta)
 
     def unprep(x, n):
-        return jnp.moveaxis(x[:, :n, :D].reshape(B, H, n, D), 1, 2)
+        return jnp.moveaxis(x[:, :n].reshape(B, H, n, D), 1, 2)
 
     return unprep(dq, S), unprep(dk, T), unprep(dv, T)
 
