@@ -450,10 +450,21 @@ class DebiasTrainer:
         uncond_ids = self._match_len(uncond_ids_raw, cond_ids)
 
         # ---- phase 1: current model, analyse ----
+        # dispatch only — phase 3 is independent of the targets, so it is
+        # enqueued before the phase-1 probs fetch: the device works through
+        # phase 3 while the host waits on the tunnel + solves the OT
         with self.timers("phase1_sample_analyze"):
             _, res1 = self._sample_analyze_fn(n_steps, True, full=False)(
                 state.adapters, noises, cond_ids, uncond_ids
             )
+
+        # ---- phase 3 dispatch: frozen model originals (plain prompt) ----
+        with self.timers("phase3_frozen_sample"):
+            _, res3 = self._sample_analyze_fn(n_steps, False)(
+                None, noises, cond_ids_raw, uncond_ids_raw
+            )
+
+        with self.timers("phase1_probs_fetch"):
             probs_host = {
                 a: np.asarray(res1.attrs[a].probs) for a in cfg.attributes
             }
@@ -463,12 +474,6 @@ class DebiasTrainer:
             step_rng = np.random.default_rng(cfg.seed * 1_000_003 + step)
             targets_np = self.make_targets(probs_host, step_rng)
             targets = {a: jnp.asarray(v) for a, v in targets_np.items()}
-
-        # ---- phase 3: frozen model originals (plain prompt) ----
-        with self.timers("phase3_frozen_sample"):
-            _, res3 = self._sample_analyze_fn(n_steps, False)(
-                None, noises, cond_ids_raw, uncond_ids_raw
-            )
         ori = {
             "face_bboxes": res3.faces.bboxes,
             "clip_feats": res3.clip_feats,
