@@ -31,7 +31,12 @@ Path = tuple[str, ...]
 
 
 def _iter_kernels(params: Mapping, prefix: Path = ()):
-    for k, v in params.items():
+    # sorted: the per-kernel PRNG key sequence in init_lora must not depend
+    # on dict insertion order (jax tree_map returns key-sorted dicts, so a
+    # mesh-replicated param tree would otherwise seed LoRA differently than
+    # the raw flax tree — found by test_mesh_matches_single_device)
+    for k in sorted(params):
+        v = params[k]
         p = prefix + (k,)
         if isinstance(v, Mapping):
             yield from _iter_kernels(v, p)
