@@ -1,0 +1,84 @@
+"""End-to-end drives of the offline tool CLIs (reference SURVEY.md §3.2-3.4:
+2-export-checkpoint.py, gen-images.py, eval-generated-images.py), in-process
+on the CPU mesh with tiny/synthetic models."""
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def test_gen_images_resume_and_eval(tmp_path):
+    """gen-images: deterministic noise bank + skip-existing resume
+    (gen-images.py:546-571), then eval-generated-images over the output
+    (annotated grids + test_results.pkl, eval-generated-images.py:706-709)."""
+    from fairdiff.tools.gen_images import GenImagesConfig, main as gen_main
+
+    save_dir = tmp_path / "imgs"
+    cfg = GenImagesConfig(
+        tiny_smoke=True, num_imgs_per_prompt=2, batch_size=2,
+        num_denoising_steps=2, save_dir=str(save_dir),
+    )
+    paths = gen_main(cfg)
+    files = sorted(save_dir.rglob("*.jpg"))
+    assert len(files) == 2
+    mtimes = {p: p.stat().st_mtime_ns for p in files}
+
+    # resume: nothing regenerated
+    gen_main(cfg)
+    assert {p: p.stat().st_mtime_ns for p in files} == mtimes
+
+    from fairdiff.tools.eval_images import EvalImagesConfig, main as eval_main
+
+    out = tmp_path / "eval"
+    res = eval_main(EvalImagesConfig(
+        synthetic_smoke=True,
+        generated_imgs_dir=str(save_dir),
+        save_dir=str(out),
+        batch_size=2,
+    ))
+    pkl = out / "prompt_0_test_results.pkl"
+    assert pkl.exists()
+    with open(pkl, "rb") as f:
+        payload = pickle.load(f)
+    # reference format: [face_indicators, face_bboxs, gender_logits,
+    # race_logits, age_logits] (eval-generated-images.py:706-709)
+    assert len(payload) == 5
+    assert isinstance(res, dict) and "prompt_0" in res
+    assert (out / "summary.pkl").exists()
+    grids = list(out.rglob("*.jpg"))
+    assert grids, "no annotated grid written"
+
+
+def test_export_checkpoint_roundtrip(tmp_path):
+    """export tool: restore a saved training state and write standalone
+    adapter (.npz) files incl. EMA (2-export-checkpoint.py:619-642)."""
+    import jax
+
+    from fairdiff.io.adapters_io import load_adapters
+    from fairdiff.tools.export_checkpoint import ExportConfig, main as export_main
+    from fairdiff.tools.train_debias import TrainCLIConfig, build_trainer
+    from fairdiff.training.checkpoints import DualCadenceCheckpointer
+
+    _, trainer, _ = build_trainer(
+        TrainCLIConfig(experiment="exp1", tiny_smoke=True, seed=7)
+    )
+    state = trainer.init_state(jax.random.key(7))
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt = DualCadenceCheckpointer(ckpt_dir, tmp_every=1, perm_every=1)
+    ckpt.maybe_save(state)
+    ckpt.wait()
+
+    out = export_main(ExportConfig(
+        experiment="exp1", tiny_smoke=True, seed=7,
+        checkpoint_dir=str(ckpt_dir), output_dir=str(tmp_path / "exported"),
+    ))
+    exported = load_adapters(Path(out) / "te_lora.npz")
+    orig = state.adapters["te_lora"]
+    got = jax.tree_util.tree_leaves(exported)
+    want = jax.tree_util.tree_leaves(orig)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert (Path(out) / "te_lora_EMA.npz").exists()
