@@ -82,3 +82,42 @@ def test_export_checkpoint_roundtrip(tmp_path):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     assert (Path(out) / "te_lora_EMA.npz").exists()
+
+
+def test_eval_facerec_cli(tmp_path):
+    """opensphere test.py parity: config-driven backbone + PairDataset
+    verification metrics through the eval_facerec CLI."""
+    import yaml
+    from PIL import Image
+
+    from fairdiff.tools.eval_facerec import EvalFaceRecCLIConfig, main
+
+    img_dir = tmp_path / "val"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8), "RGB"
+        ).save(img_dir / f"im{i}.jpg")
+    ann = tmp_path / "pairs.txt"
+    ann.write_text(
+        "im0.jpg im1.jpg 1\nim0.jpg im2.jpg 0\n"
+        "im1.jpg im3.jpg 0\nim2.jpg im3.jpg 1\n"
+    )
+    cfg = {
+        "data": {"val": [{"dataset": {
+            "type": "PairDataset", "name": "tiny-lfw",
+            "data_dir": str(img_dir), "ann_path": str(ann),
+        }}]},
+        "model": {"backbone": {
+            "type": "sfnet4", "out_channel": 16, "in_size": 32,
+            "channels": [4, 4, 8, 8],
+        }},
+    }
+    cfg_path = tmp_path / "test.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    results = main(EvalFaceRecCLIConfig(config=str(cfg_path), batch_size=2))
+    metrics = dict(results["tiny-lfw"])
+    assert "ACC" in metrics and 0.0 <= metrics["ACC"] <= 100.0
+    assert "AUC" in metrics and "EER" in metrics
