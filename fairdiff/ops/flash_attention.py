@@ -31,12 +31,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_S = 512
-BLOCK_T = 512
+# 1024-wide K/V tiles measured ~6% faster fwd+bwd than 512 at the 4096-token
+# SD self-attention on v5e (fewer online-softmax iterations); short sequences
+# fall back so t_pad doesn't over-round (see _block_t)
+BLOCK_T = 1024
 LANES = 128
 
 
+def _block_t(T: int) -> int:
+    return BLOCK_T if T >= BLOCK_T else 512
+
+
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, scale: float, t_valid: int
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, scale: float, t_valid: int,
+    block_t: int,
 ):
     """One (batch*head, q-block): online softmax over all K/V tiles.
 
@@ -45,17 +53,17 @@ def _flash_kernel(
     phase-1/3 batch sizes is ~1GB per attention call — the no-grad path
     compiles the kernel without it."""
     q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_S, D]
-    n_t = k_ref.shape[1] // BLOCK_T
+    n_t = k_ref.shape[1] // block_t
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BLOCK_S, BLOCK_T]
         # mask padded key rows
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * BLOCK_T
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
         s = jnp.where(col < t_valid, s, -jnp.inf)
         m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -103,8 +111,9 @@ def _flash_forward(q, k, v, with_lse: bool = False):
     T = k.shape[1]
     scale = D**-0.5
 
+    bt = _block_t(T)
     s_pad = -(-S // BLOCK_S) * BLOCK_S
-    t_pad = -(-T // BLOCK_T) * BLOCK_T
+    t_pad = -(-T // bt) * bt
 
     qp = _prep(q, s_pad)
     kp = _prep(k, t_pad)
@@ -129,7 +138,7 @@ def _flash_forward(q, k, v, with_lse: bool = False):
             )
         )
     res = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, t_valid=T),
+        functools.partial(_flash_kernel, scale=scale, t_valid=T, block_t=bt),
         out_shape=out_shapes,
         grid=(B * H, s_pad // BLOCK_S),
         in_specs=[qo_spec, kv_spec, kv_spec],
@@ -141,22 +150,22 @@ def _flash_forward(q, k, v, with_lse: bool = False):
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
-    *, scale: float, t_valid: int,
+    *, scale: float, t_valid: int, block_t: int,
 ):
     """One (batch*head, q-block): dq = sum_tiles (p*(dO·V^T - delta))·K."""
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0][:, :1]
     dlt = dlt_ref[0][:, :1]
-    n_t = k_ref.shape[1] // BLOCK_T
+    n_t = k_ref.shape[1] // block_t
 
     def body(i, acc):
-        k = k_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * BLOCK_T, BLOCK_T), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * BLOCK_T
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
         s = jnp.where(col < t_valid, s, -jnp.inf)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -220,7 +229,8 @@ def _flash_backward(q, k, v, o, lse, g):
     T = k.shape[1]
     scale = D**-0.5
     s_pad = -(-S // BLOCK_S) * BLOCK_S
-    t_pad = -(-T // BLOCK_T) * BLOCK_T
+    bt = _block_t(T)
+    t_pad = -(-T // bt) * bt
 
     qp = _prep(q, s_pad)
     kp = _prep(k, t_pad)
@@ -248,7 +258,9 @@ def _flash_backward(q, k, v, o, lse, g):
     )
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, t_valid=T),
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, t_valid=T, block_t=bt
+        ),
         out_shape=jax.ShapeDtypeStruct((B * H, s_pad, D), q.dtype),
         grid=(B * H, s_pad // BLOCK_S),
         in_specs=[qo_spec, kv_full_spec, kv_full_spec, qo_spec, stat_spec,
@@ -260,7 +272,7 @@ def _flash_backward(q, k, v, o, lse, g):
         (1, s_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
     kv_spec = pl.BlockSpec(
-        (1, BLOCK_T, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, bt, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     stat_full_spec = pl.BlockSpec(
         (1, s_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
@@ -271,7 +283,7 @@ def _flash_backward(q, k, v, o, lse, g):
             jax.ShapeDtypeStruct((B * H, t_pad, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, t_pad, D), v.dtype),
         ],
-        grid=(B * H, t_pad // BLOCK_T),
+        grid=(B * H, t_pad // bt),
         in_specs=[qo_full_spec, kv_spec, kv_spec, qo_full_spec,
                   stat_full_spec, stat_full_spec],
         out_specs=[kv_spec, kv_spec],

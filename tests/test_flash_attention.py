@@ -44,6 +44,7 @@ def test_flash_matches_xla(monkeypatch, s, t, d):
         (512, 512, 64),   # aligned self-attention
         (600, 300, 40),   # both seq dims padded, head_dim padded
         (1024, 77, 80),   # cross-attention (key side much shorter)
+        (1024, 1024, 40), # exercises the 1024-wide K/V tile path
     ],
 )
 def test_flash_grad_matches_xla(monkeypatch, s, t, d):
