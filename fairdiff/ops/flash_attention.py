@@ -271,8 +271,12 @@ def _flash_backward(q, k, v, o, lse, g):
     qo_full_spec = pl.BlockSpec(
         (1, s_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
+    # dkv holds full Q/dO/lse/delta in VMEM, so 1024-wide k-blocks push the
+    # kernel ~300K over the 16M scoped-vmem limit — keep 512 here (t_pad is
+    # a multiple of bt >= 512, so it still tiles)
+    bkv = min(bt, 512)
     kv_spec = pl.BlockSpec(
-        (1, bt, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, bkv, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     stat_full_spec = pl.BlockSpec(
         (1, s_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
@@ -283,7 +287,7 @@ def _flash_backward(q, k, v, o, lse, g):
             jax.ShapeDtypeStruct((B * H, t_pad, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, t_pad, D), v.dtype),
         ],
-        grid=(B * H, t_pad // bt),
+        grid=(B * H, t_pad // bkv),
         in_specs=[qo_full_spec, kv_spec, kv_spec, qo_full_spec,
                   stat_full_spec, stat_full_spec],
         out_specs=[kv_spec, kv_spec],
