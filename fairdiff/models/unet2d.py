@@ -169,11 +169,13 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # epsilon=1e-5: torch nn.LayerNorm default (diffusers uses it);
+        # flax defaults to 1e-6 — caught by the torch activation goldens
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
             self.dim, self.heads, dtype=self.dtype, use_flash=self.use_flash, name="attn1"
         )(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
             self.dim,
             self.heads,
@@ -182,7 +184,7 @@ class BasicTransformerBlock(nn.Module):
             use_flash=self.use_flash,
             name="attn2",
         )(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + FeedForwardGEGLU(self.dim, dtype=self.dtype, name="ff")(h)
 
 

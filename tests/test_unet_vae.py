@@ -203,3 +203,77 @@ def test_vae_converter_roundtrip():
         sd[torch_key] = arr
     recovered = convert_vae(sd, cfg)
     chex.assert_trees_all_close(params, jax.tree.map(jnp.asarray, recovered), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# activation-level goldens vs hand-written torch diffusers-0.19.3 blocks
+# (tests/torch_refs.py). These catch what the structural round-trip cannot:
+# wrong skip-concat order, head-reshape order, norm epsilons, GEGLU gate
+# order, VAE asymmetric downsample pad — any of which converts cleanly but
+# produces garbage with real weights (reference consumption: exp-1:722-794).
+# ---------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_unet_torch_activation_golden():
+    from torch_refs import TUNet
+
+    cfg = UNetConfig.tiny()
+    torch.manual_seed(0)
+    tm = TUNet(cfg).eval()
+    params = convert_unet(_torch_sd(tm), cfg)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, cfg.sample_size, cfg.sample_size, 4)).astype(np.float32)
+    ctx = rng.normal(size=(2, 5, cfg.cross_attention_dim)).astype(np.float32)
+    t = np.array([3, 747], np.int64)
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t),
+            torch.from_numpy(ctx),
+        ).numpy().transpose(0, 2, 3, 1)
+
+    model = UNet2DCondition(cfg)
+    out = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_vae_torch_activation_golden():
+    from torch_refs import TVAE
+
+    cfg = VAEConfig.tiny()
+    torch.manual_seed(0)
+    tm = TVAE(cfg).eval()
+    params = convert_vae(_torch_sd(tm), cfg)
+    model = AutoencoderKL(cfg)
+    variables = {"params": jax.tree.map(jnp.asarray, params)}
+
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        moments_ref = tm.encode_moments(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+    mean, logvar = model.apply(variables, jnp.asarray(img), method=model.encode)
+    mean_ref, logvar_ref = np.split(moments_ref, 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(logvar), np.clip(logvar_ref, -30, 20), rtol=1e-4, atol=1e-4
+    )
+
+    z = rng.normal(size=(2, 2, 2, cfg.latent_channels)).astype(np.float32)
+    with torch.no_grad():
+        dec_ref = tm.decode(
+            torch.from_numpy(z.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+    dec = model.apply(variables, jnp.asarray(z), method=model.decode)
+    np.testing.assert_allclose(np.asarray(dec), dec_ref, rtol=1e-4, atol=1e-4)
