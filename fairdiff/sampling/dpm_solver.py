@@ -185,6 +185,39 @@ def dpm_step(
     return new_sample, x0
 
 
+def chain_eps_cotangents(bundle: StepBundle) -> jax.Array:
+    """Per-step scalar d(x_final)/d(eps_guided_t), times the reference's
+    per-step rescale coefficient.
+
+    The solver update is affine in the guided epsilons with *scalar*
+    (schedule-only) coefficients — the UNet input is stop_gradient'ed in
+    grad mode (reference detach, exp-1:1115), so the only eps->x_final
+    dependence is the linear solver chain. Differentiating a scalar replay
+    of `dpm_step` therefore yields the exact per-step cotangent multiplier
+    gamma_t: the full chain backward collapses to
+        cot(eps_t) = grad_coef_t * gamma_t * dL/dx_final.
+    This is what lets phase 4 of the trainer skip re-running the sampling
+    chain entirely (see training/debias.py, linearized phase 4).
+    """
+    n_steps = bundle.t.shape[0]
+
+    def replay(eps_vec: jax.Array) -> jax.Array:
+        def body(carry, i):
+            sample, m_prev = carry
+            x0 = (sample - bundle.sigma_cur[i] * eps_vec[i]) / bundle.alpha_cur[i]
+            new_sample, m = dpm_step(x0, sample, m_prev, bundle, i)
+            return (new_sample, m), None
+
+        (final, _), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0)), jnp.arange(n_steps)
+        )
+        return final
+
+    # replay is linear in eps (x_init = 0), so grad at 0 is exact
+    gamma = jax.grad(replay)(jnp.zeros(n_steps, jnp.float32))
+    return gamma * bundle.grad_coef
+
+
 def denoise(
     eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
     latents: jax.Array,
@@ -193,6 +226,7 @@ def denoise(
     guidance_scale: float = 7.5,
     grad_mode: bool = False,
     unroll: int = 1,
+    return_trajectory: bool = False,
 ) -> jax.Array:
     """Run the full denoising chain as one scan.
 
@@ -207,6 +241,11 @@ def denoise(
     each step's latent carry (the TPU form of the reference's per-layer
     gradient checkpointing, exp-1:748-749) — without it the scan stacks
     per-step UNet residuals across all T steps in HBM.
+
+    return_trajectory=True additionally returns the [T, ...] stack of
+    per-step input latents (what the detached chain feeds the UNet at each
+    step) — the linearized phase-4 backward replays from these
+    (training/debias.py).
     """
     n_steps = bundle.t.shape[0]
     latents = latents.astype(jnp.float32)
@@ -222,7 +261,7 @@ def denoise(
             eps = scale_grad(eps, bundle.grad_coef[i])
         x0 = (sample - bundle.sigma_cur[i] * eps) / bundle.alpha_cur[i]
         new_sample, m = dpm_step(x0, sample, m_prev, bundle, i)
-        return (new_sample, m), None
+        return (new_sample, m), (sample if return_trajectory else None)
 
     if grad_mode:
         # FAIRDIFF_SCAN_REMAT=dots trades HBM for recompute: matmul
@@ -238,10 +277,12 @@ def denoise(
             )
         else:
             body = jax.checkpoint(body)
-    (final, _), _ = jax.lax.scan(
+    (final, _), traj = jax.lax.scan(
         body,
         (latents, jnp.zeros_like(latents)),
         jnp.arange(n_steps),
         unroll=unroll,
     )
+    if return_trajectory:
+        return final, traj
     return final

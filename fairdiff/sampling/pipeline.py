@@ -124,52 +124,51 @@ class StableDiffusion:
         )
         return out["last_hidden_state"]
 
-    def generate(
+    def build_context(
         self,
         params: dict,
-        noises: jax.Array,  # [N, h, w, 4]
         cond_ids: jax.Array,  # [1 or N, S]
         uncond_ids: jax.Array,
-        num_steps: int,
+        N: int,
         *,
         cond_mask: Optional[jax.Array] = None,
         uncond_mask: Optional[jax.Array] = None,
-        unet_lora: Optional[Any] = None,
         te_lora: Optional[Any] = None,
         prefix_table: Optional[jax.Array] = None,
-        grad_mode: bool = False,
-        guidance_scale: Optional[float] = None,
     ) -> jax.Array:
-        """Full chain: encode -> denoise (scan) -> decode. Returns images in
-        [-1, 1], NHWC (reference clamp at exp-1:1060)."""
-        cfg = self.config
-        N = noises.shape[0]
-        gs = cfg.guidance_scale if guidance_scale is None else guidance_scale
-
+        """CFG context [2N, S, D] in reference order [uncond; cond]
+        (exp-1:1035), broadcast to the lane count."""
         te_params = params["text_encoder"]
         if te_lora is not None:
             te_params = lora_lib.apply_lora(te_params, te_lora)
-        unet_params = params["unet"]
-        if unet_lora is not None:
-            unet_params = lora_lib.apply_lora(unet_params, unet_lora)
-
         cond = self.encode_prompt(te_params, cond_ids, cond_mask, prefix_table)
         uncond = self.encode_prompt(te_params, uncond_ids, uncond_mask)
         if cond.shape[0] == 1:
             cond = jnp.broadcast_to(cond, (N,) + cond.shape[1:])
         if uncond.shape[0] == 1:
             uncond = jnp.broadcast_to(uncond, (N,) + uncond.shape[1:])
-        context = jnp.concatenate([uncond, cond], axis=0)  # reference order
+        return jnp.concatenate([uncond, cond], axis=0)
 
-        bundle = dpm.make_step_bundle(cfg.solver, self.schedule, num_steps)
+    def unet_eps(
+        self,
+        params: dict,
+        lat2: jax.Array,  # [2B, h, w, 4] CFG-doubled
+        t: jax.Array,  # scalar or [2B]
+        context: jax.Array,  # [2B, S, D]
+        *,
+        unet_lora: Optional[Any] = None,
+    ) -> jax.Array:
+        unet_params = params["unet"]
+        if unet_lora is not None:
+            unet_params = lora_lib.apply_lora(unet_params, unet_lora)
+        return self.unet.apply({"params": unet_params}, lat2, t, context)
 
-        def eps_fn(lat2, t):
-            return self.unet.apply({"params": unet_params}, lat2, t, context)
-
-        latents = dpm.denoise(
-            eps_fn, noises, bundle, guidance_scale=gs, grad_mode=grad_mode
-        )
-        latents = latents / cfg.vae.scaling_factor
+    def decode_images(
+        self, params: dict, latents: jax.Array, *, grad_mode: bool = False
+    ) -> jax.Array:
+        """Final latents -> images in [-1, 1], NHWC (exp-1:1060 clamp)."""
+        latents = latents / self.config.vae.scaling_factor
+        N = latents.shape[0]
 
         def decode(vae_params, lat):
             return self.vae.apply({"params": vae_params}, lat, method=self.vae.decode)
@@ -197,3 +196,55 @@ class StableDiffusion:
             )
             images = images.reshape((N,) + images.shape[2:])
         return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
+
+    def generate(
+        self,
+        params: dict,
+        noises: jax.Array,  # [N, h, w, 4]
+        cond_ids: jax.Array,  # [1 or N, S]
+        uncond_ids: jax.Array,
+        num_steps: int,
+        *,
+        cond_mask: Optional[jax.Array] = None,
+        uncond_mask: Optional[jax.Array] = None,
+        unet_lora: Optional[Any] = None,
+        te_lora: Optional[Any] = None,
+        prefix_table: Optional[jax.Array] = None,
+        grad_mode: bool = False,
+        guidance_scale: Optional[float] = None,
+        return_latents: bool = False,
+    ):
+        """Full chain: encode -> denoise (scan) -> decode. Returns images in
+        [-1, 1], NHWC (reference clamp at exp-1:1060).
+
+        return_latents=True additionally returns (final_latents, trajectory)
+        where trajectory is the [T, N, h, w, 4] stack of per-step UNet-input
+        latents — the state the linearized phase-4 backward resumes from
+        (training/debias.py)."""
+        cfg = self.config
+        N = noises.shape[0]
+        gs = cfg.guidance_scale if guidance_scale is None else guidance_scale
+
+        context = self.build_context(
+            params, cond_ids, uncond_ids, N,
+            cond_mask=cond_mask, uncond_mask=uncond_mask,
+            te_lora=te_lora, prefix_table=prefix_table,
+        )
+        unet_params = params["unet"]
+        if unet_lora is not None:
+            unet_params = lora_lib.apply_lora(unet_params, unet_lora)
+
+        bundle = dpm.make_step_bundle(cfg.solver, self.schedule, num_steps)
+
+        def eps_fn(lat2, t):
+            return self.unet.apply({"params": unet_params}, lat2, t, context)
+
+        out = dpm.denoise(
+            eps_fn, noises, bundle, guidance_scale=gs, grad_mode=grad_mode,
+            return_trajectory=return_latents,
+        )
+        latents, traj = out if return_latents else (out, None)
+        images = self.decode_images(params, latents, grad_mode=grad_mode)
+        if return_latents:
+            return images, latents, traj
+        return images

@@ -44,6 +44,7 @@ from fairdiff.adapters import prefix as prefix_lib
 from fairdiff.fairness import losses as loss_lib
 from fairdiff.fairness import targets as targets_lib
 from fairdiff.fairness import weights as weights_lib
+from fairdiff.sampling import dpm_solver
 from fairdiff.sampling.pipeline import StableDiffusion
 from fairdiff.training import metrics as metrics_lib
 from fairdiff.training.stack import GuidanceStack
@@ -214,25 +215,31 @@ class DebiasTrainer:
         return (self.params, self.guidance.params)
 
     def _sample_analyze_fn(self, n_steps: int, with_adapters: bool,
-                           full: bool = True):
+                           full: bool = True, with_latents: bool = False):
         """full=False computes only detection + attribute heads (phase 1
         consumes just the probability vectors for target generation; the
-        CLIP/DINO/face-embedding towers are phase-3/4 inputs only)."""
-        key = ("sample", n_steps, with_adapters, full)
+        CLIP/DINO/face-embedding towers are phase-3/4 inputs only).
+        with_latents=True also returns (final_latents, trajectory) — the
+        linearized phase-4 backward resumes from these."""
+        key = ("sample", n_steps, with_adapters, full, with_latents)
         if key not in self._jit_cache:
 
             def fn(frozen, adapters, noises, cond_ids, uncond_ids):
                 sd_params, gparams = frozen
-                images = self.sd.generate(
+                out = self.sd.generate(
                     sd_params, noises,
                     cond_ids, uncond_ids, n_steps,
                     guidance_scale=self.cfg.guidance_scale,
+                    return_latents=with_latents,
                     **(self._gen_kwargs(adapters) if with_adapters else {}),
                 )
+                images, final, traj = out if with_latents else (out, None, None)
                 res = self.guidance.analyze(
                     images, include_semantic=full, include_face_feats=full,
                     params=gparams,
                 )
+                if with_latents:
+                    return images, res, final, traj
                 return images, res
 
             jitted = jax.jit(fn)
@@ -244,6 +251,9 @@ class DebiasTrainer:
         self, frozen, adapters, noises, cond_ids, uncond_ids, n_steps,
         targets: dict, ori: dict,
     ):
+        """Chain-backward phase-4 loss: differentiable re-sample + loss.
+        Kept as the FAIRDIFF_PHASE4=chain fallback and as the golden for
+        the linearized path's equivalence test."""
         cfg = self.cfg
         sd_params, gparams = frozen
         images = self.sd.generate(
@@ -251,6 +261,14 @@ class DebiasTrainer:
             guidance_scale=cfg.guidance_scale, grad_mode=True,
             **self._gen_kwargs(adapters),
         )
+        return self._images_loss(frozen, images, targets, ori)
+
+    def _images_loss(self, frozen, images, targets: dict, ori: dict):
+        """Composite fairness loss given already-decoded images
+        (exp-1:1879-1940 semantics; shared by the chain and linearized
+        phase-4 paths)."""
+        cfg = self.cfg
+        sd_params, gparams = frozen
         res = self.guidance.analyze(images, include_semantic=False, params=gparams)
         ind = res.faces.indicators
 
@@ -373,6 +391,109 @@ class DebiasTrainer:
             self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
         return self._jit_cache[key]
 
+    # -- linearized phase 4 ---------------------------------------------
+    # The reference detaches the latent at every UNet input (exp-1:1115),
+    # so the sampling chain is AFFINE in the guided epsilons with scalar
+    # schedule coefficients: x_final = B*x_init + sum_t gamma_t * eps_t.
+    # Phase 4 therefore does not need to re-run (or remat) the chain at
+    # all. We (a) save the trajectory {x_t} and x_final from the phase-1
+    # forward (same model, same noises => identical chain), (b) backprop
+    # the composite loss through decode+guidance only to get dL/dx_final,
+    # (c) form per-step cotangents c_t = grad_coef_t*gamma_t*dL/dx_final
+    # (dpm.chain_eps_cotangents), and (d) accumulate adapter grads over
+    # T*N *independent* single-step UNet VJPs — a flat, perfectly
+    # parallel batch with exactly one step's activations live at a time.
+    # vs the chain backward this removes one full UNet forward per step
+    # (the scan-remat tax) plus the chain re-forward phase 4 used to do.
+    def _gamma(self, n_steps: int) -> jax.Array:
+        key = ("gamma", n_steps)
+        if key not in self._jit_cache:
+            bundle = dpm_solver.make_step_bundle(
+                self.sd.config.solver, self.sd.schedule, n_steps
+            )
+            self._jit_cache[key] = dpm_solver.chain_eps_cotangents(bundle)
+        return self._jit_cache[key]
+
+    def _final_grad_fn(self, n_chunks: int):
+        """dL/dx_final + logs: scan over lane chunks, each computing the
+        chunk-mean composite loss on decode(x_final) and differentiating
+        w.r.t. the final latents (decode is grad-checkpointed per image
+        exactly as the chain path's decoder)."""
+        key = ("final_grad", n_chunks)
+        if key not in self._jit_cache:
+
+            def chunk_loss(x_final, frozen, targets, ori):
+                sd_params, _ = frozen
+                images = self.sd.decode_images(
+                    sd_params, x_final, grad_mode=True
+                )
+                return self._images_loss(frozen, images, targets, ori)
+
+            grad_core = jax.grad(chunk_loss, has_aux=True)
+
+            def fn(frozen, x_chunks, targets_c, ori_c):
+                def body(_, inp):
+                    xf, t, o = inp
+                    g, logs = grad_core(xf, frozen, t, o)
+                    return None, (g, logs)
+
+                _, (g_final, logs) = jax.lax.scan(
+                    body, None, (x_chunks, targets_c, ori_c)
+                )
+                return g_final, logs
+
+            jitted = jax.jit(fn)
+            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
+        return self._jit_cache[key]
+
+    def _pair_grad_fn(self, n_steps: int, n_lane_chunks: int):
+        """Adapter grads from the flat (step x lane-chunk) batch of
+        single-step UNet VJPs. Each scan iteration differentiates the
+        surrogate  <cot, guided_eps(params)>  at one trajectory point —
+        by construction its parameter gradient equals that step's
+        contribution to the true chain gradient (see block comment)."""
+        key = ("pair_grad", n_steps, n_lane_chunks)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            gs = cfg.guidance_scale
+
+            def surrogate(adapters, frozen, x, t, cot, cond_ids, uncond_ids):
+                sd_params, _ = frozen
+                kw = self._gen_kwargs(adapters)
+                context = self.sd.build_context(
+                    sd_params, cond_ids, uncond_ids, x.shape[0],
+                    te_lora=kw.get("te_lora"),
+                    prefix_table=kw.get("prefix_table"),
+                )
+                lat2 = jnp.concatenate([x, x], axis=0)
+                eps2 = self.sd.unet_eps(
+                    sd_params, lat2, t, context,
+                    unet_lora=kw.get("unet_lora"),
+                ).astype(jnp.float32)
+                eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+                guided = eps_u + gs * (eps_c - eps_u)
+                return jnp.sum(guided * cot)
+
+            grad_core = jax.grad(surrogate)
+
+            def fn(frozen, adapters, traj_chunks, ts, cot_chunks, ci, ui):
+                def body(acc, inp):
+                    x, t, cot = inp
+                    g = grad_core(adapters, frozen, x, t, cot, ci, ui)
+                    return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros_like(p), adapters
+                )
+                acc, _ = jax.lax.scan(
+                    body, zeros, (traj_chunks, ts, cot_chunks)
+                )
+                return acc
+
+            jitted = jax.jit(fn)
+            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
+        return self._jit_cache[key]
+
     def _update_fn(self):
         if "update" not in self._jit_cache:
 
@@ -449,14 +570,32 @@ class DebiasTrainer:
         cond_ids = self._prefix_ids(cond_ids_raw)
         uncond_ids = self._match_len(uncond_ids_raw, cond_ids)
 
+        n = cfg.train_images_per_prompt
+        m = cfg.train_micro_batch
+        import os
+
+        use_linear = (
+            os.environ.get("FAIRDIFF_PHASE4", "linear") == "linear"
+            and n % m == 0
+        )
+
         # ---- phase 1: current model, analyse ----
         # dispatch only — phase 3 is independent of the targets, so it is
         # enqueued before the phase-1 probs fetch: the device works through
-        # phase 3 while the host waits on the tunnel + solves the OT
+        # phase 3 while the host waits on the tunnel + solves the OT.
+        # The linearized phase 4 reuses phase 1's chain: same adapters, same
+        # noises, detached UNet inputs => identical trajectory, so phase 1
+        # IS phase 4's forward pass (see the linearized-phase-4 block above).
+        x_final = traj = None
         with self.timers("phase1_sample_analyze"):
-            _, res1 = self._sample_analyze_fn(n_steps, True, full=False)(
-                state.adapters, noises, cond_ids, uncond_ids
-            )
+            if use_linear:
+                _, res1, x_final, traj = self._sample_analyze_fn(
+                    n_steps, True, full=False, with_latents=True
+                )(state.adapters, noises, cond_ids, uncond_ids)
+            else:
+                _, res1 = self._sample_analyze_fn(n_steps, True, full=False)(
+                    state.adapters, noises, cond_ids, uncond_ids
+                )
 
         # ---- phase 3 dispatch: frozen model originals (plain prompt) ----
         with self.timers("phase3_frozen_sample"):
@@ -486,12 +625,50 @@ class DebiasTrainer:
         }
 
         # ---- phase 4: micro-batched grads ----
-        n = cfg.train_images_per_prompt
-        m = cfg.train_micro_batch
         n_chunks = -(-n // m)
         logs_acc: dict[str, list] = {}
         with self.timers("phase4_backward"):
-            if self.mesh is None and n % m == 0:
+            if use_linear:
+                to_chunks = lambda x: x.reshape(n_chunks, m, *x.shape[1:])
+                # (a) dL/dx_final through decode+guidance+loss only
+                with self.timers("phase4_loss_vjp"):
+                    g_final, logs_st = self._final_grad_fn(n_chunks)(
+                        to_chunks(x_final),
+                        {a: to_chunks(v) for a, v in targets.items()},
+                        jax.tree_util.tree_map(to_chunks, ori),
+                    )
+                # (b)+(c) per-step cotangents; /n_chunks matches the chain
+                # path's grad normalisation (mean of chunk-means)
+                with self.timers("phase4_pair_vjp"):
+                    gamma = self._gamma(n_steps)  # [T]
+                    gf = g_final.reshape(n, *g_final.shape[2:]) / n_chunks
+                    cot = gamma[:, None, None, None, None] * gf[None]
+                    # flat (step x lane-chunk) batch; lane chunk = p lanes
+                    p = int(os.environ.get("FAIRDIFF_PAIR_LANES", m))
+                    if n % p:
+                        p = m
+                    npc = n // p
+                    T = int(n_steps)
+                    traj_c = traj.reshape(T * npc, p, *traj.shape[2:])
+                    cot_c = cot.reshape(T * npc, p, *cot.shape[2:])
+                    ts = jnp.repeat(
+                        jnp.asarray(
+                            dpm_solver.timestep_grid(
+                                self.sd.config.solver, n_steps
+                            ),
+                            jnp.int32,
+                        ),
+                        npc,
+                    )
+                    grads = self._pair_grad_fn(n_steps, npc)(
+                        state.adapters, traj_c, ts, cot_c,
+                        cond_ids, uncond_ids,
+                    )
+                    jax.block_until_ready(grads)
+                with self.timers("phase4_log_fetch"):
+                    for k, v in logs_st.items():
+                        logs_acc[k] = [np.asarray(v).reshape(-1)]
+            elif self.mesh is None and n % m == 0:
                 # one dispatch: scan over chunks on-device
                 to_chunks = lambda x: x.reshape(n_chunks, m, *x.shape[1:])
                 with self.timers("phase4_device"):
@@ -523,6 +700,8 @@ class DebiasTrainer:
                     for k, v in chunk_logs.items():
                         logs_acc.setdefault(k, []).append(np.asarray(v))
                 grads = jax.tree_util.tree_map(lambda x: x / n_chunks, grads)
+
+        self._last_grads = grads  # inspection/testing hook
 
         # ---- update: finite gate -> AdamW -> EMA ----
         # torch_ema ramp-in decay (exp-1:823-824 semantics)

@@ -171,3 +171,57 @@ def test_mesh_matches_single_device():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
     assert abs(logs1["train_loss"] - logs2["train_loss"]) < 1e-3
+
+
+def test_linearized_phase4_matches_chain(monkeypatch):
+    """The linearized phase 4 (phase-1 trajectory reuse + analytic chain
+    cotangents + flat per-step UNet VJPs) must yield the SAME adapter
+    gradients as the chain backward, which reproduces the reference's
+    autograd semantics (exp-1:1063-1136). This is exact math, not an
+    approximation: with the per-step detach the chain is affine in the
+    guided epsilons, so only fp reduction order may differ."""
+    trainer, prompt_ids = _setup(train_unet=True)
+    state = trainer.init_state(jax.random.key(1))
+    key = jax.random.key(42)
+
+    monkeypatch.setenv("FAIRDIFF_PHASE4", "chain")
+    _, logs_chain = trainer.train_step(state, prompt_ids, key)
+    grads_chain = trainer._last_grads
+
+    monkeypatch.setenv("FAIRDIFF_PHASE4", "linear")
+    _, logs_lin = trainer.train_step(state, prompt_ids, key)
+    grads_lin = trainer._last_grads
+
+    flat_c, tree_c = jax.tree_util.tree_flatten(grads_chain)
+    flat_l, tree_l = jax.tree_util.tree_flatten(grads_lin)
+    assert tree_c == tree_l
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat_c), "all-zero grads"
+    for a, b in zip(flat_c, flat_l):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-7
+        )
+    assert abs(logs_chain["train_loss"] - logs_lin["train_loss"]) < 1e-5
+
+
+def test_linearized_phase4_prefix(monkeypatch):
+    """Prefix-adapter (exp-2) gradients also flow through the linearized
+    path's context VJP (the TE/prefix only enter via the CFG context)."""
+    trainer, prompt_ids = _setup(
+        train_text_encoder=False, train_unet=False, train_prefix=True,
+        num_prefix_tokens=2,
+    )
+    state = trainer.init_state(jax.random.key(1))
+    key = jax.random.key(42)
+
+    monkeypatch.setenv("FAIRDIFF_PHASE4", "chain")
+    trainer.train_step(state, prompt_ids, key)
+    g_chain = trainer._last_grads["prefix"]
+
+    monkeypatch.setenv("FAIRDIFF_PHASE4", "linear")
+    trainer.train_step(state, prompt_ids, key)
+    g_lin = trainer._last_grads["prefix"]
+
+    assert float(jnp.abs(g_chain).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(g_chain), np.asarray(g_lin), rtol=5e-4, atol=5e-7
+    )
