@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fairdiff.models.layers import dot_product_attention
+from fairdiff.models.layers import dot_product_attention, expand_padding_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,7 +129,12 @@ class CrossAttention(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        context_mask: Optional[jax.Array] = None,  # [B, T] {0,1} key mask
+    ) -> jax.Array:
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
@@ -141,7 +146,10 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, S, self.heads, head_dim)
         k = k.reshape(B, T, self.heads, head_dim)
         v = v.reshape(B, T, self.heads, head_dim)
-        out = dot_product_attention(q, k, v, use_flash=self.use_flash)
+        # masking pad keys makes the static-77 context numerically equal to
+        # the reference's compact-length cross-attention (exp-1:1010-1027)
+        bias = None if context_mask is None else expand_padding_mask(context_mask)
+        out = dot_product_attention(q, k, v, bias, use_flash=self.use_flash)
         out = out.reshape(B, S, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
@@ -168,7 +176,12 @@ class BasicTransformerBlock(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        context_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         # epsilon=1e-5: torch nn.LayerNorm default (diffusers uses it);
         # flax defaults to 1e-6 — caught by the torch activation goldens
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -183,7 +196,7 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="attn2",
-        )(h, context)
+        )(h, context, context_mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + FeedForwardGEGLU(self.dim, dtype=self.dtype, name="ff")(h)
 
@@ -198,7 +211,12 @@ class Transformer2D(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        context_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         B, H, W, C = x.shape
         residual = x
         h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
@@ -211,7 +229,7 @@ class Transformer2D(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="transformer_blocks_0",
-        )(h, context)
+        )(h, context, context_mask)
         h = h.reshape(B, H, W, C)
         h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return h + residual
@@ -262,6 +280,7 @@ class UNet2DCondition(nn.Module):
         sample: jax.Array,
         timesteps: jax.Array,
         encoder_hidden_states: jax.Array,
+        encoder_attention_mask: Optional[jax.Array] = None,  # [B,T] {0,1}
     ) -> jax.Array:
         cfg = self.config
         ch = cfg.block_out_channels
@@ -302,7 +321,7 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype,
                         use_flash=self.use_flash,
                         name=f"down_{i}_attn_{j}",
-                    )(h, context)
+                    )(h, context, encoder_attention_mask)
                 skips.append(h)
             if i < len(ch) - 1:
                 h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
@@ -325,7 +344,7 @@ class UNet2DCondition(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="mid_attn_0",
-        )(h, context)
+        )(h, context, encoder_attention_mask)
         h = self._block(
             ResnetBlock2D,
             ch[-1],
@@ -360,7 +379,7 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype,
                         use_flash=self.use_flash,
                         name=f"up_{i}_attn_{j}",
-                    )(h, context)
+                    )(h, context, encoder_attention_mask)
             if i < len(ch) - 1:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
 

@@ -32,6 +32,25 @@ from fairdiff.models.unet2d import UNet2DCondition, UNetConfig
 from fairdiff.sampling import dpm_solver as dpm
 
 
+def eos_attention_mask(input_ids: jax.Array, eos_token_id: int) -> jax.Array:
+    """Reconstruct the tokenizer attention_mask from ids alone.
+
+    CLIP pads with the eos token, so "valid through the FIRST eos" equals
+    the HF tokenizer's attention_mask exactly. The reference threads that
+    mask into the text encoder in every sampler (exp-1:1010-1027,
+    :1076-1100); deriving it in-graph means every caller gets the masked
+    semantics without plumbing extra arrays. Soft-prefix ids >= vocab_size
+    (exp-2) never equal eos and correctly count as real tokens — which
+    also fixes the mask for prefix-shifted sequences.
+    """
+    is_eos = input_ids == eos_token_id
+    first = jnp.argmax(is_eos, axis=1)
+    has = is_eos.any(axis=1)
+    idx = jnp.arange(input_ids.shape[1])[None, :]
+    valid = idx <= first[:, None]
+    return jnp.where(has[:, None], valid, True).astype(jnp.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDConfig:
     text: CLIPTextConfig = CLIPTextConfig.sd15()
@@ -108,7 +127,13 @@ class StableDiffusion:
         prefix_table: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Prompt -> encoder hidden states. With a soft-prefix table, ids >=
-        vocab_size select trainable rows (exp-2 path)."""
+        vocab_size select trainable rows (exp-2 path). attention_mask=None
+        derives the mask from the ids (reference parity, exp-1:1076-1080);
+        pass an explicit mask only to override."""
+        if attention_mask is None:
+            attention_mask = eos_attention_mask(
+                input_ids, self.config.text.eos_token_id
+            )
         inputs_embeds = None
         if prefix_table is not None:
             inputs_embeds = prefix_lib.splice_prefix_embeds(
@@ -135,19 +160,29 @@ class StableDiffusion:
         uncond_mask: Optional[jax.Array] = None,
         te_lora: Optional[Any] = None,
         prefix_table: Optional[jax.Array] = None,
-    ) -> jax.Array:
-        """CFG context [2N, S, D] in reference order [uncond; cond]
-        (exp-1:1035), broadcast to the lane count."""
+    ) -> tuple[jax.Array, jax.Array]:
+        """-> (context [2N, S, D], key mask [2N, S]) in reference CFG order
+        [uncond; cond] (exp-1:1035), broadcast to the lane count. The key
+        mask feeds the UNet cross-attention so pad positions are excluded
+        exactly as in the reference's compact-length contexts."""
+        eos = self.config.text.eos_token_id
+        if cond_mask is None:
+            cond_mask = eos_attention_mask(cond_ids, eos)
+        if uncond_mask is None:
+            uncond_mask = eos_attention_mask(uncond_ids, eos)
         te_params = params["text_encoder"]
         if te_lora is not None:
             te_params = lora_lib.apply_lora(te_params, te_lora)
         cond = self.encode_prompt(te_params, cond_ids, cond_mask, prefix_table)
         uncond = self.encode_prompt(te_params, uncond_ids, uncond_mask)
-        if cond.shape[0] == 1:
-            cond = jnp.broadcast_to(cond, (N,) + cond.shape[1:])
-        if uncond.shape[0] == 1:
-            uncond = jnp.broadcast_to(uncond, (N,) + uncond.shape[1:])
-        return jnp.concatenate([uncond, cond], axis=0)
+        bcast = lambda x: (
+            jnp.broadcast_to(x, (N,) + x.shape[1:]) if x.shape[0] == 1 else x
+        )
+        context = jnp.concatenate([bcast(uncond), bcast(cond)], axis=0)
+        key_mask = jnp.concatenate(
+            [bcast(uncond_mask), bcast(cond_mask)], axis=0
+        )
+        return context, key_mask
 
     def unet_eps(
         self,
@@ -155,13 +190,14 @@ class StableDiffusion:
         lat2: jax.Array,  # [2B, h, w, 4] CFG-doubled
         t: jax.Array,  # scalar or [2B]
         context: jax.Array,  # [2B, S, D]
+        key_mask: Optional[jax.Array] = None,  # [2B, S]
         *,
         unet_lora: Optional[Any] = None,
     ) -> jax.Array:
         unet_params = params["unet"]
         if unet_lora is not None:
             unet_params = lora_lib.apply_lora(unet_params, unet_lora)
-        return self.unet.apply({"params": unet_params}, lat2, t, context)
+        return self.unet.apply({"params": unet_params}, lat2, t, context, key_mask)
 
     def decode_images(
         self, params: dict, latents: jax.Array, *, grad_mode: bool = False
@@ -225,7 +261,7 @@ class StableDiffusion:
         N = noises.shape[0]
         gs = cfg.guidance_scale if guidance_scale is None else guidance_scale
 
-        context = self.build_context(
+        context, key_mask = self.build_context(
             params, cond_ids, uncond_ids, N,
             cond_mask=cond_mask, uncond_mask=uncond_mask,
             te_lora=te_lora, prefix_table=prefix_table,
@@ -237,7 +273,9 @@ class StableDiffusion:
         bundle = dpm.make_step_bundle(cfg.solver, self.schedule, num_steps)
 
         def eps_fn(lat2, t):
-            return self.unet.apply({"params": unet_params}, lat2, t, context)
+            return self.unet.apply(
+                {"params": unet_params}, lat2, t, context, key_mask
+            )
 
         out = dpm.denoise(
             eps_fn, noises, bundle, guidance_scale=gs, grad_mode=grad_mode,

@@ -105,13 +105,14 @@ def main(cfg: GenImagesConfig) -> list[Path]:
     root = root_key(cfg.random_seed)
     save_root = Path(cfg.save_dir)
 
+    # masks are derived in-graph from the ids (pipeline.eos_attention_mask)
+    # — also correct for prefix-shifted sequences, where the tokenizer's
+    # pre-prefix mask would be stale (reference exp-2 gen-images.py:89-109)
     @jax.jit
-    def generate(p, noises, cond_ids, cond_mask, uncond_ids, uncond_mask,
-                 ul, tl, pt):
+    def generate(p, noises, cond_ids, uncond_ids, ul, tl, pt):
         return sd.generate(
             p, noises, cond_ids, uncond_ids,
             cfg.num_denoising_steps,
-            cond_mask=cond_mask, uncond_mask=uncond_mask,
             unet_lora=ul, te_lora=tl, prefix_table=pt,
             guidance_scale=cfg.guidance_scale,
         )
@@ -152,8 +153,7 @@ def main(cfg: GenImagesConfig) -> list[Path]:
             )
             imgs = generate(
                 params, noises,
-                jnp.asarray(tok_c.input_ids), jnp.asarray(tok_c.attention_mask),
-                jnp.asarray(tok_u.input_ids), jnp.asarray(tok_u.attention_mask),
+                jnp.asarray(tok_c.input_ids), jnp.asarray(tok_u.input_ids),
                 unet_lora, te_lora, prefix_table,
             )
             imgs = np.asarray(imgs)

@@ -66,7 +66,13 @@ class DebiasConfig:
     target_kind: str = "binary"
     target_ratio: float = 0.5
     uncertainty_thresholds: tuple[float, ...] = (0.2,)
-    ot_num_samples: int = 200
+    # the reference draws 100 OT samples PER DEVICE and all-reduces the
+    # transport plans (exp-3:1528-1535): target sharpness scales with the
+    # topology. We reproduce that: total draws = per_shard * data shards.
+    # ot_num_samples > 0 overrides with an explicit topology-independent
+    # total.
+    ot_samples_per_shard: int = 100
+    ot_num_samples: int = 0
     # optimization (exp-1 defaults, exp-1:397-430)
     learning_rate: float = 5e-5
     weight_decay: float = 1e-2
@@ -460,14 +466,14 @@ class DebiasTrainer:
             def surrogate(adapters, frozen, x, t, cot, cond_ids, uncond_ids):
                 sd_params, _ = frozen
                 kw = self._gen_kwargs(adapters)
-                context = self.sd.build_context(
+                context, key_mask = self.sd.build_context(
                     sd_params, cond_ids, uncond_ids, x.shape[0],
                     te_lora=kw.get("te_lora"),
                     prefix_table=kw.get("prefix_table"),
                 )
                 lat2 = jnp.concatenate([x, x], axis=0)
                 eps2 = self.sd.unet_eps(
-                    sd_params, lat2, t, context,
+                    sd_params, lat2, t, context, key_mask,
                     unet_lora=kw.get("unet_lora"),
                 ).astype(jnp.float32)
                 eps_u, eps_c = jnp.split(eps2, 2, axis=0)
@@ -510,6 +516,17 @@ class DebiasTrainer:
         return self._jit_cache["update"]
 
     # ------------------------------------------------------------------
+    @property
+    def n_data_shards(self) -> int:
+        return int(self.mesh.shape["data"]) if self.mesh is not None else 1
+
+    @property
+    def ot_draws(self) -> int:
+        """Total OT sample draws: 100/device all-reduced in the reference
+        (exp-3:1528-1535) -> per_shard * shards here, unless overridden."""
+        cfg = self.cfg
+        return cfg.ot_num_samples or cfg.ot_samples_per_shard * self.n_data_shards
+
     def make_targets(
         self, probs: dict[str, np.ndarray], step_rng: np.random.Generator
     ) -> dict[str, np.ndarray]:
@@ -520,7 +537,7 @@ class DebiasTrainer:
             return {"gender": targets_lib.gate_targets_by_uncertainty(t, th["gender"])}
         if cfg.target_kind == "ot2":
             tg, tr = targets_lib.sampled_ot_targets_2attr(
-                probs["gender"], probs["race"], step_rng, cfg.ot_num_samples
+                probs["gender"], probs["race"], step_rng, self.ot_draws
             )
             return {
                 "gender": targets_lib.gate_targets_by_uncertainty(tg, th["gender"]),
@@ -529,7 +546,7 @@ class DebiasTrainer:
         if cfg.target_kind == "ot3":
             tg, tr, ta = targets_lib.sampled_ot_targets_3attr(
                 probs["gender"], probs["race"], probs["age"], step_rng,
-                cfg.ot_num_samples,
+                self.ot_draws,
             )
             return {
                 "gender": targets_lib.gate_targets_by_uncertainty(tg, th["gender"]),
@@ -728,17 +745,49 @@ class DebiasTrainer:
         return new_state, logs
 
     # ------------------------------------------------------------------
+    def _eval_grid(self, path, images, res) -> None:
+        from fairdiff.utils import grids
+
+        attrs = {
+            a: (
+                np.asarray(res.attrs[a].preds),
+                np.asarray(res.attrs[a].probs).max(axis=-1),
+            )
+            for a in self.cfg.attributes
+        }
+        grids.plot_in_grid_multi(
+            np.asarray(images), path, attrs,
+            face_indicators=np.asarray(res.faces.indicators),
+            face_bboxes=np.asarray(res.faces.bboxes),
+        )
+
     def evaluate(
         self,
         adapters: Optional[dict],
         prompt_ids_list: list[tuple[jax.Array, jax.Array]],
         root_key: jax.Array,
+        *,
+        name: str = "main",
+        step: int = 0,
+        prompt_texts: Optional[list[str]] = None,
+        grids_dir: Optional[str] = None,
     ) -> dict:
+        """Reference `evaluate_process` parity (exp-1:1449-1582): per
+        eval prompt, generate with the evaluated weights AND with the
+        frozen baseline on the SAME eval noises, log per-prompt and
+        aggregate bias metrics, and (when grids_dir is set) write the
+        annotated ori/generated grids the reference uploads to wandb."""
         cfg = self.cfg
         all_probs: dict[str, list] = {a: [] for a in cfg.attributes}
         all_preds: dict[str, list] = {a: [] for a in cfg.attributes}
+        per_prompt: dict[str, float] = {}
         fn = self._sample_analyze_fn(
             cfg.eval_denoising_steps, adapters is not None, full=False
+        )
+        fn_ori = (
+            self._sample_analyze_fn(cfg.eval_denoising_steps, False, full=False)
+            if grids_dir
+            else None
         )
         for i, (cond_ids, uncond_ids) in enumerate(prompt_ids_list):
             noises = jax.random.normal(
@@ -746,13 +795,41 @@ class DebiasTrainer:
                 self.sd.latent_shape(cfg.val_images_per_prompt),
             )
             cond = self._prefix_ids(cond_ids) if adapters else cond_ids
-            _, res = fn(adapters, noises, cond, self._match_len(uncond_ids, cond))
+            images, res = fn(
+                adapters, noises, cond, self._match_len(uncond_ids, cond)
+            )
+            probs_i = {a: np.asarray(res.attrs[a].probs) for a in cfg.attributes}
+            preds_i = {a: np.asarray(res.attrs[a].preds) for a in cfg.attributes}
             for a in cfg.attributes:
-                all_probs[a].append(np.asarray(res.attrs[a].probs))
-                all_preds[a].append(np.asarray(res.attrs[a].preds))
+                all_probs[a].append(probs_i[a])
+                all_preds[a].append(preds_i[a])
+            # per-prompt metric keys (reference eval_{name}_{key}_{prompt},
+            # exp-1:1556-1560)
+            label = (
+                prompt_texts[i] if prompt_texts and i < len(prompt_texts)
+                else f"prompt{i}"
+            ).strip().replace(" ", "_").replace("/", "_")[:60]
+            for k, v in metrics_lib.multi_attr_metrics(probs_i, preds_i).items():
+                per_prompt[f"{k}_{label}"] = v
+            if grids_dir:
+                from pathlib import Path as _P
+
+                base = _P(grids_dir)
+                self._eval_grid(
+                    base / f"eval_{name}_{step}_{label}_generated.jpg",
+                    images, res,
+                )
+                # frozen-baseline comparison on the same noises
+                # (exp-1:1464-1501)
+                images_o, res_o = fn_ori(None, noises, cond_ids, uncond_ids)
+                self._eval_grid(
+                    base / f"eval_{name}_{step}_{label}_ori.jpg", images_o, res_o
+                )
         probs = {a: np.concatenate(v) for a, v in all_probs.items()}
         preds = {a: np.concatenate(v) for a, v in all_preds.items()}
-        return metrics_lib.multi_attr_metrics(probs, preds)
+        out = metrics_lib.multi_attr_metrics(probs, preds)
+        out.update(per_prompt)
+        return out
 
     # ------------------------------------------------------------------
     def fit(
@@ -762,14 +839,23 @@ class DebiasTrainer:
         val_prompt_ids: Optional[list] = None,
         max_steps: Optional[int] = None,
         checkpoint_cb: Optional[Callable[[DebiasState], None]] = None,
+        val_prompt_texts: Optional[list[str]] = None,
+        eval_grids: bool = True,
     ) -> DebiasState:
         cfg = self.cfg
         root = rng_lib.root_key(cfg.seed)
         max_steps = max_steps or cfg.max_train_steps
-        # identical shuffle on every host (reference seed+1, exp-1:916-921)
+        # identical shuffle on every host (reference seed+1, exp-1:916-921).
+        # On resume, fast-forward the permutation stream through the
+        # completed epochs so the resumed run replays the exact prompt
+        # sequence of an unbroken run (reference exp-1:1698-1724 recomputes
+        # epoch/step offsets for the same reason).
         order_rng = np.random.default_rng(cfg.seed + 1)
-        order = order_rng.permutation(len(train_prompt_ids)).tolist()
-        pos = state.step % len(order)
+        n_prompts = len(train_prompt_ids)
+        order = order_rng.permutation(n_prompts).tolist()
+        for _ in range(state.step // n_prompts):
+            order = order_rng.permutation(n_prompts).tolist()
+        pos = state.step % n_prompts
         while state.step < max_steps:
             if pos >= len(order):
                 order = order_rng.permutation(len(train_prompt_ids)).tolist()
@@ -786,9 +872,22 @@ class DebiasTrainer:
             )
             self.logger(state.step, logs)
             if val_prompt_ids and state.step % cfg.eval_interval == 0:
-                ev = self.evaluate(state.adapters, val_prompt_ids, root)
+                import os as _os
+
+                grids_dir = (
+                    _os.path.join(cfg.output_dir, "imgs") if eval_grids else None
+                )
+                ev = self.evaluate(
+                    state.adapters, val_prompt_ids, root,
+                    name="main", step=state.step,
+                    prompt_texts=val_prompt_texts, grids_dir=grids_dir,
+                )
                 self.logger(state.step, {f"eval_{k}": v for k, v in ev.items()})
-                ev_ema = self.evaluate(state.ema, val_prompt_ids, root)
+                ev_ema = self.evaluate(
+                    state.ema, val_prompt_ids, root,
+                    name="ema", step=state.step,
+                    prompt_texts=val_prompt_texts, grids_dir=grids_dir,
+                )
                 self.logger(
                     state.step, {f"eval_ema_{k}": v for k, v in ev_ema.items()}
                 )

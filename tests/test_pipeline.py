@@ -69,3 +69,55 @@ def test_generate_data_parallel():
     np.testing.assert_allclose(
         np.asarray(img[0]), np.asarray(solo[0]), atol=2e-4
     )
+
+
+def test_eos_attention_mask_derivation():
+    """Derived mask == the tokenizer's attention_mask (CLIP pads with eos):
+    valid through the FIRST eos; prefix ids (>= vocab) are real tokens."""
+    from fairdiff.sampling.pipeline import eos_attention_mask
+
+    eos = 63
+    ids = jnp.asarray(
+        [
+            [0, 5, 6, eos, eos, eos],   # normal prompt
+            [0, eos, eos, eos, eos, eos],  # uncond ""
+            [0, 70, 71, 5, eos, eos],   # prefix ids 70/71 >= vocab
+            [0, 1, 2, 3, 4, 5],         # no eos (truncated) -> all valid
+        ]
+    )
+    m = np.asarray(eos_attention_mask(ids, eos))
+    np.testing.assert_array_equal(
+        m,
+        [
+            [1, 1, 1, 1, 0, 0],
+            [1, 1, 0, 0, 0, 0],
+            [1, 1, 1, 1, 1, 0],
+            [1, 1, 1, 1, 1, 1],
+        ],
+    )
+
+
+def test_unet_context_mask_excludes_pad_positions():
+    """With a key mask, UNet cross-attention must be invariant to the
+    context content at masked positions — the static-77 equivalent of the
+    reference's compact-length contexts (exp-1:1010-1027)."""
+    from fairdiff.models.unet2d import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    t = jnp.array([5, 9])
+    ctx = jnp.asarray(rng.normal(size=(2, 6, cfg.cross_attention_dim)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 0, 0]])
+    params = model.init(jax.random.key(0), x, t, ctx)
+
+    out1 = model.apply(params, x, t, ctx, mask)
+    garbage = ctx + 100.0 * jnp.asarray(
+        rng.normal(size=ctx.shape), jnp.float32
+    ) * (1 - mask)[:, :, None]
+    out2 = model.apply(params, x, t, garbage, mask)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+    # and the mask must actually do something vs unmasked
+    out3 = model.apply(params, x, t, ctx)
+    assert float(jnp.abs(out1 - out3).max()) > 1e-6
