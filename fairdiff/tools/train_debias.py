@@ -182,6 +182,7 @@ def main(cfg: TrainCLIConfig):
     state = trainer.fit(
         state, train_ids, val_prompt_ids=val_ids,
         checkpoint_cb=ckpt.maybe_save,
+        val_prompt_texts=val_prompts,
     )
     ckpt.wait()
 

@@ -29,6 +29,8 @@ def exp1(**overrides) -> DebiasConfig:
         max_train_steps=10000,
         no_face_img_weight_one=True,
         face_search_all_lanes=False,
+        # reference val_images_per_prompt_GPU: 16 x 2 GPUs (exp-1 config)
+        val_images_per_prompt=32,
     )
     return dataclasses.replace(cfg, **overrides)
 

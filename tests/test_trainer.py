@@ -225,3 +225,99 @@ def test_linearized_phase4_prefix(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_chain), np.asarray(g_lin), rtol=5e-4, atol=5e-7
     )
+
+
+def test_resume_replays_prompt_order():
+    """A run resumed mid-epoch must see the same prompt sequence as the
+    unbroken run (reference recomputes epoch/step offsets on resume,
+    exp-1:1698-1724): the permutation stream is fast-forwarded through the
+    completed epochs."""
+    import dataclasses as dc
+
+    from fairdiff.training.debias import DebiasState
+
+    prompts = [
+        (jnp.array([[i, 63]], jnp.int32), jnp.array([[0, 63]], jnp.int32))
+        for i in range(3)
+    ]
+
+    def run(from_step, to_step):
+        trainer, _ = _setup(max_train_steps=to_step)
+        seen = []
+
+        def fake_step(state, pid, key):
+            seen.append(int(np.asarray(pid[0])[0, 0]))
+            return (
+                DebiasState(
+                    state.adapters, state.opt_state, state.ema, state.step + 1
+                ),
+                {},
+            )
+
+        trainer.train_step = fake_step
+        state = trainer.init_state(jax.random.key(1))
+        state = DebiasState(state.adapters, state.opt_state, state.ema, from_step)
+        trainer.fit(state, prompts, max_steps=to_step)
+        return seen
+
+    unbroken = run(0, 8)
+    resumed = run(5, 8)
+    assert resumed == unbroken[5:]
+
+
+def test_ot_draw_count_scales_with_shards():
+    """Reference draws 100 OT samples per device and all-reduces the plans
+    (exp-3:1528-1535): total draws must scale with the data-shard count."""
+    from fairdiff.parallel import MeshConfig, create_mesh
+
+    t1, _ = _setup(target_kind="ot2", attributes=("gender", "race"),
+                   uncertainty_thresholds=(0.2, 0.2))
+    assert t1.ot_draws == 100
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    t8, _ = _setup(mesh=mesh, target_kind="ot2",
+                   attributes=("gender", "race"),
+                   uncertainty_thresholds=(0.2, 0.2))
+    assert t8.ot_draws == 800
+
+    t_ovr, _ = _setup(target_kind="ot2", attributes=("gender", "race"),
+                      uncertainty_thresholds=(0.2, 0.2), ot_num_samples=123)
+    assert t_ovr.ot_draws == 123
+
+
+def test_evaluate_artifacts_and_per_prompt_metrics(tmp_path):
+    """Eval-process parity (exp-1:1449-1582): per-prompt metric keys,
+    frozen-baseline generation on the same noises, and the annotated
+    ori/generated grid artifacts under the output dir."""
+    trainer, prompt_ids = _setup()
+    state = trainer.init_state(jax.random.key(1))
+    ev = trainer.evaluate(
+        state.adapters, [prompt_ids], jax.random.key(3),
+        name="main", step=40, prompt_texts=["a photo of a doctor"],
+        grids_dir=str(tmp_path),
+    )
+    assert "gender_gap" in ev
+    assert "gender_gap_a_photo_of_a_doctor" in ev
+    label = "a_photo_of_a_doctor"
+    assert (tmp_path / f"eval_main_40_{label}_generated.jpg").exists()
+    assert (tmp_path / f"eval_main_40_{label}_ori.jpg").exists()
+
+
+def test_plot_in_grid_multi(tmp_path):
+    from fairdiff.utils.grids import plot_in_grid_multi
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (6, 16, 16, 3)).astype(np.float32)
+    attrs = {
+        "gender": (np.array([0, 1, 1, 0, -1, 1]),
+                   np.array([0.9, 0.8, 0.6, 0.7, -1.0, 0.95])),
+        "race": (np.array([0, 1, 2, 3, -1, 0]),
+                 np.array([0.5, 0.6, 0.7, 0.8, -1.0, 0.9])),
+    }
+    ind = np.array([True, True, True, True, False, True])
+    bboxes = np.array([[2, 2, 10, 10]] * 6, np.float32)
+    p = plot_in_grid_multi(
+        images, tmp_path / "grid.jpg", attrs,
+        face_indicators=ind, face_bboxes=bboxes,
+    )
+    assert p.exists() and p.stat().st_size > 0
