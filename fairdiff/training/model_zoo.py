@@ -4,7 +4,12 @@ The frozen zoo of the reference (exp-1-debias-gender/1-main-debias.py:
 929-994) wired into a GuidanceStack. Expected directory layout (each file
 produced by the fairdiff.io converters / tools):
 
-  <dir>/detector.npz            FaceDetectorNet params (flat npz tree)
+  <dir>/det_10g.onnx            insightface SCRFD detector (preferred:
+                                executed via fairdiff.io.onnx_bridge —
+                                weight-identical to the reference's
+                                buffalo_l, exp-1:938-945)
+  <dir>/detector.npz            FaceDetectorNet params (fallback: the
+                                first-party trainable detector)
   <dir>/classifier.npz          MobileNetV3 attribute classifier
   <dir>/clip_vision/            orbax tree (CLIP-ViT-H) [optional]
   <dir>/dinov2/                 orbax tree (DINOv2 ViT-B/14) [optional]
@@ -68,10 +73,18 @@ def load_guidance_stack(
     # frozen weights live in `dtype` (bf16 default — reference fp16 cast).
     params: dict = {}
 
-    det_cfg = DetectorConfig()
-    det_net = FaceDetectorNet(det_cfg, dtype=dtype)
-    params["detector"] = cast_floats(load_adapters(d / "detector.npz"), dtype)
-    detect_fn = make_detect_fn(det_net, det_cfg)
+    if (d / "det_10g.onnx").exists():
+        from fairdiff.io.onnx_bridge import load_scrfd
+
+        detect_fn, det_params = load_scrfd(str(d / "det_10g.onnx"))
+        params["detector"] = cast_floats(det_params, dtype)
+    else:
+        det_cfg = DetectorConfig()
+        det_net = FaceDetectorNet(det_cfg, dtype=dtype)
+        params["detector"] = cast_floats(
+            load_adapters(d / "detector.npz"), dtype
+        )
+        detect_fn = make_detect_fn(det_net, det_cfg)
 
     mnv3 = MobileNetV3Large(num_classes=n_logits, dtype=dtype)
     params["classifier"] = cast_floats(load_adapters(d / "classifier.npz"), dtype)
