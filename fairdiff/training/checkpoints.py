@@ -41,6 +41,13 @@ class DualCadenceCheckpointer:
             directory / "perm",
             options=ocp.CheckpointManagerOptions(max_to_keep=None),
         )
+        # orbax managers own non-daemon worker threads; an unclosed manager
+        # hangs interpreter exit (seen as a pytest hang after 100%). Close
+        # on exit; close() is idempotent via _closed.
+        import atexit
+
+        self._closed = False
+        atexit.register(self.close)
 
     def maybe_save(self, state: DebiasState) -> None:
         payload = {
@@ -88,6 +95,9 @@ class DualCadenceCheckpointer:
         self._perm.wait_until_finished()
 
     def close(self):
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         self.wait()
         self._tmp.close()
         self._perm.close()

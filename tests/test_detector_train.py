@@ -18,6 +18,11 @@ from fairdiff.models.face_detector import (
 )
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # fast subset: pytest -m 'not slow'
+
 def test_render_scene():
     rng = np.random.default_rng(0)
     img, bbox, lms = render_face_scene(rng, 64)

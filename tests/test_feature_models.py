@@ -12,6 +12,11 @@ from fairdiff.models.clip_vision import CLIPVisionConfig, CLIPVisionModel
 from fairdiff.models.dinov2 import DINOv2Config, DINOv2Model
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # fast subset: pytest -m 'not slow'
+
 def test_clip_vision_golden():
     hf_cfg = transformers.CLIPVisionConfig(
         hidden_size=32, intermediate_size=64, num_hidden_layers=2,

@@ -9,6 +9,11 @@ import numpy as np
 import pytest
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # fast subset: pytest -m 'not slow'
+
 def test_gen_images_resume_and_eval(tmp_path):
     """gen-images: deterministic noise bank + skip-existing resume
     (gen-images.py:546-571), then eval-generated-images over the output

@@ -8,6 +8,11 @@ import numpy as np
 from fairdiff.tools.train_facerec import FaceRecCLIConfig, main
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # fast subset: pytest -m 'not slow'
+
 def test_train_facerec_cli_end_to_end(tmp_path):
     import cv2
 

@@ -19,6 +19,11 @@ from fairdiff.training.debias import DebiasConfig, DebiasTrainer
 from fairdiff.training.stack import GuidanceStack
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # fast subset: pytest -m 'not slow'
+
 def _oracle_detect(images):
     n = images.shape[0]
     lms = (geo.ARCFACE_TEMPLATE - 56.0) * 0.3 + 32.0
