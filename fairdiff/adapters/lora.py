@@ -91,8 +91,19 @@ def apply_lora(params: Mapping, lora: Mapping, scale: float = 1.0):
         out = {}
         for k, v in p_node.items():
             if k == "kernel" and "down" in l_node:
-                delta = (l_node["down"] @ l_node["up"]).astype(v.dtype)
-                out[k] = v + scale * delta
+                # merge in f32 and round ONCE: with bf16 frozen kernels,
+                # adding a pre-rounded bf16 delta would round twice and
+                # can drop sub-ulp(W) updates entirely. Numerically this
+                # matches the reference's precision story: its fp32 TE
+                # LoRA branch (exp-1:829-883, diffusers LoRALinearLayer)
+                # is also summed into fp16 activations, i.e. rounded to
+                # half precision at the add — weight-space vs activation-
+                # space rounding of the same magnitude (see
+                # tests/test_adapters.py::test_lora_bf16_merge_precision).
+                delta = l_node["down"].astype(jnp.float32) @ l_node[
+                    "up"
+                ].astype(jnp.float32)
+                out[k] = (v.astype(jnp.float32) + scale * delta).astype(v.dtype)
             elif isinstance(v, Mapping) and k in l_node:
                 out[k] = merge(v, l_node[k])
             else:

@@ -115,3 +115,50 @@ def test_prefix_splice():
         argnums=(0, 1),
     )(table, pref)
     assert float(jnp.abs(g_pref).min()) > 0
+
+
+def test_lora_bf16_merge_precision():
+    """Weak-spot check (VERDICT r1): how much of an lr=5e-5-scale LoRA
+    delta survives the bf16 weight merge. The merge computes W + delta in
+    f32 and rounds ONCE, so the loss is bounded by ulp(W)/2 — the same
+    half-precision noise floor the reference incurs adding its fp32 LoRA
+    branch into fp16 activations (delta_y ~ 2e-4 vs fp16 ulp(1.0) = 5e-4).
+    Early-training deltas (~1e-5, below bf16 ulp(0.02) = 7.8e-5) survive
+    only partially IN THE FORWARD — in both frameworks — while the fp32
+    optimizer state loses nothing; by ~10x that scale survival is ~full."""
+    rng = np.random.default_rng(0)
+    d, r = 256, 8
+    w32 = rng.normal(0.0, 0.02, (d, d)).astype(np.float32)
+    w16 = jnp.asarray(w32, jnp.bfloat16)
+    down = jnp.asarray(rng.normal(0, 1e-2, (d, r)), jnp.float32)
+
+    def survival(up_scale):
+        up = jnp.asarray(rng.normal(0, up_scale, (r, d)), jnp.float32)
+        delta = np.asarray(down @ up)
+        merged = lora_lib.apply_lora(
+            {"kernel": w16}, {"down": down, "up": up}
+        )["kernel"]
+        rec = np.asarray(merged, np.float32) - np.asarray(w16, np.float32)
+        return float(
+            (rec * delta).sum()
+            / (np.linalg.norm(rec) * np.linalg.norm(delta) + 1e-30)
+        )
+
+    assert survival(5e-4) > 0.4     # early-training scale: partial, not zero
+    assert survival(5e-3) > 0.95    # ~1k-step scale: essentially lossless
+
+    # single-rounding (merge in f32) must beat the double-rounding merge
+    up = jnp.asarray(rng.normal(0, 5e-4, (r, d)), jnp.float32)
+    delta = np.asarray(down @ up)
+    merged1 = np.asarray(
+        lora_lib.apply_lora({"kernel": w16}, {"down": down, "up": up})["kernel"],
+        np.float32,
+    )
+    merged2 = np.asarray(
+        w16 + jnp.asarray(delta).astype(jnp.bfloat16), np.float32
+    )
+    err1 = np.linalg.norm(merged1 - (w32 + delta))
+    err2 = np.linalg.norm(merged2 - (w32 + delta))
+    # both are dominated by the final ulp(W) rounding; the f32 merge can
+    # only help (it removes the delta's own pre-rounding), never hurt
+    assert err1 <= err2 * 1.01
