@@ -98,4 +98,7 @@ def build_head(cfg: dict):
     kind = cfg.pop("type").lower()
     cfg.pop("feat_dim", None)
     cfg.pop("num_class", None)
+    # reference configs use mixed-case kwargs (lambda_MHE); our head fns
+    # use lowercase argument names
+    cfg = {k.lower(): v for k, v in cfg.items()}
     return margin_heads.HEADS[kind], cfg

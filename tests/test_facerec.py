@@ -110,3 +110,30 @@ def test_facerec_trainer_learns_toy():
     np.testing.assert_allclose(
         np.asarray(jnp.linalg.norm(feats, axis=-1)), 1.0, rtol=1e-5
     )
+
+
+def test_all_facerec_configs_build():
+    """Every shipped facerec YAML (mirroring the reference's 20+ opensphere
+    configs) must resolve: base inheritance, backbone registry, head
+    registry, and head kwargs matching the head fn signature."""
+    import inspect
+    from pathlib import Path
+
+    import yaml
+
+    from fairdiff.facerec.builder import (
+        build_backbone, build_head, fill_config,
+    )
+
+    cfg_dir = Path(__file__).parent.parent / "fairdiff" / "configs" / "facerec"
+    files = sorted(p for p in cfg_dir.glob("*.yml") if p.name != "base.yml")
+    assert len(files) >= 20, [p.name for p in files]
+    for path in files:
+        with open(path) as f:
+            cfg = fill_config(yaml.safe_load(f), base_dir=cfg_dir)
+        build_backbone(cfg["model"]["backbone"])
+        if "head" in cfg["model"]:
+            fn, kwargs = build_head(cfg["model"]["head"])
+            params = set(inspect.signature(fn).parameters)
+            unknown = set(kwargs) - params
+            assert not unknown, (path.name, unknown)
