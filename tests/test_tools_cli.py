@@ -126,3 +126,30 @@ def test_eval_facerec_cli(tmp_path):
     metrics = dict(results["tiny-lfw"])
     assert "ACC" in metrics and 0.0 <= metrics["ACC"] <= 100.0
     assert "AUC" in metrics and "EER" in metrics
+
+
+def test_convert_guidance_cli(tmp_path):
+    """convert_guidance assembles the model_zoo layout from whatever
+    artifacts are given (converter functions have their own goldens)."""
+    import pickle
+
+    import numpy as np
+
+    from fairdiff.tools.convert_guidance import (
+        GuidanceConvertConfig, main as convert_main,
+    )
+
+    pkl = tmp_path / "face_feats.pkl"
+    feats = np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32)
+    with open(pkl, "wb") as f:
+        pickle.dump((feats, np.zeros(4, np.int64), np.zeros((4, 2))), f)
+    npz = tmp_path / "det.npz"
+    np.savez(npz, **{"stem/kernel": np.zeros((3, 3, 3, 8), np.float32)})
+
+    out = convert_main(GuidanceConvertConfig(
+        out_dir=str(tmp_path / "zoo"),
+        face_feats_pkl=str(pkl),
+        detector_npz=str(npz),
+    ))
+    assert (out / "face_feats.pkl").exists()
+    assert (out / "detector.npz").exists()
