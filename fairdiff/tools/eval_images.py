@@ -24,7 +24,7 @@ from fairdiff.guidance.faces import analyze_faces
 from fairdiff.io.images import load_image
 from fairdiff.training.metrics import multi_attr_metrics
 from fairdiff.utils import config as cfglib
-from fairdiff.utils.grids import plot_in_grid
+from fairdiff.utils.grids import plot_in_grid, plot_in_grid_multi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,14 +133,30 @@ def main(cfg: EvalImagesConfig) -> dict:
         metrics = multi_attr_metrics(probs, preds)
         summary[prompt_dir.name] = metrics
 
-        g = probs.get("gender")
-        plot_in_grid(
-            imgs,
-            save_root / f"{prompt_dir.name}_grid.jpg",
-            face_indicators=inds,
-            preds=preds.get("gender", np.zeros(len(imgs), int)),
-            probs_max=(g.max(-1) if g is not None else None),
-        )
+        # gender x race (x age) annotated grid — reference
+        # plot_in_grid_gender_race[_age] (eval-generated-images.py:65-263)
+        attrs = {
+            k: (preds[k], np.where(inds, probs[k].max(-1), -1.0))
+            for k in ("gender", "race", "age")
+            if k in preds
+        }
+        if len(attrs) > 1:
+            plot_in_grid_multi(
+                imgs,
+                save_root / f"{prompt_dir.name}_grid.jpg",
+                attrs,
+                face_indicators=inds,
+                face_bboxes=bboxes,
+            )
+        else:
+            g = probs.get("gender")
+            plot_in_grid(
+                imgs,
+                save_root / f"{prompt_dir.name}_grid.jpg",
+                face_indicators=inds,
+                preds=preds.get("gender", np.zeros(len(imgs), int)),
+                probs_max=(g.max(-1) if g is not None else None),
+            )
         with open(save_root / f"{prompt_dir.name}_test_results.pkl", "wb") as f:
             pickle.dump(
                 [

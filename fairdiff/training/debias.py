@@ -660,10 +660,14 @@ class DebiasTrainer:
                     gamma = self._gamma(n_steps)  # [T]
                     gf = g_final.reshape(n, *g_final.shape[2:]) / n_chunks
                     cot = gamma[:, None, None, None, None] * gf[None]
-                    # flat (step x lane-chunk) batch; lane chunk = p lanes
-                    p = int(os.environ.get("FAIRDIFF_PAIR_LANES", m))
+                    # flat (step x lane-chunk) batch; lane chunk = p lanes.
+                    # Under a mesh, default to ALL lanes per step-VJP so
+                    # each chunk stays aligned with the data-axis sharding
+                    # (a lane-slice of a sharded batch would reshard).
+                    default_p = n if self.mesh is not None else m
+                    p = int(os.environ.get("FAIRDIFF_PAIR_LANES", default_p))
                     if n % p:
-                        p = m
+                        p = default_p
                     npc = n // p
                     T = int(n_steps)
                     traj_c = traj.reshape(T * npc, p, *traj.shape[2:])
