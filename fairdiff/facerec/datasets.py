@@ -89,16 +89,40 @@ class ClassDataset:
         img = image_pipeline({"path": self.items[i][0]}, self.test_mode)
         return img, int(self.labels[i])
 
-    def batches(self, batch_size: int, seed: int = 0, drop_last: bool = True):
+    def batches(self, batch_size: int, seed: int = 0, drop_last: bool = True,
+                image_size: Optional[int] = None, n_threads: int = 8):
         """Restartable shuffled batch iterator (IterLoader semantics,
-        opensphere/utils.py:55-79)."""
+        opensphere/utils.py:55-79).
+
+        With `image_size`, whole batches go through the native threaded
+        decode+resize+flip pipeline (fairdiff.native.imageloader — the C++
+        replacement for the reference's single-threaded cv2 loop); without
+        it, or when the native lib is unavailable, falls back to the
+        per-item cv2 path."""
         rng = np.random.default_rng(seed)
+        native = None
+        if image_size is not None:
+            from fairdiff.native import imageloader_lib
+
+            native = imageloader_lib if imageloader_lib.native_available() else None
         while True:
             order = rng.permutation(len(self))
             for s in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
                 idx = order[s : s + batch_size]
-                imgs, labels = zip(*(self[i] for i in idx))
-                yield np.stack(imgs), np.asarray(labels)
+                if native is not None:
+                    flips = (
+                        None if self.test_mode
+                        else rng.random(len(idx)) > 0.5
+                    )
+                    imgs = native.load_batch(
+                        [self.items[i][0] for i in idx],
+                        (image_size, image_size),
+                        flips=flips, n_threads=n_threads,
+                    )
+                    yield imgs, self.labels[idx]
+                else:
+                    imgs, labels = zip(*(self[i] for i in idx))
+                    yield np.stack(imgs), np.asarray(labels)
 
 
 @dataclasses.dataclass

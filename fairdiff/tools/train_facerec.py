@@ -136,7 +136,7 @@ def main(cli: FaceRecCLIConfig):
 
     state = trainer.fit(
         state,
-        train_ds.batches(batch_size, seed=cli.seed),
+        train_ds.batches(batch_size, seed=cli.seed, image_size=in_size),
         log_every=cli.log_every,
         logger=logger,
         val_fn=val_fn if val_ds is not None else None,
