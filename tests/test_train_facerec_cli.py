@@ -92,8 +92,9 @@ def test_shipped_facerec_configs_build():
         params = net.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
         out = net.apply(params, jnp.zeros((1, 112, 112, 3)))
         assert out.shape == (1, cfg["model"]["backbone"]["out_channel"]), p
-        fn, kwargs = build_head(cfg["model"]["head"])
-        assert callable(fn), p
+        if "head" in cfg["model"]:  # eval-only configs (test_ijb*, combined)
+            fn, kwargs = build_head(cfg["model"]["head"])
+            assert callable(fn), p
 
 
 def test_create_facerec_list(tmp_path):
