@@ -229,6 +229,7 @@ def main():
         print(
             f"# warmup(+compile) {compile_step:.1f}s, steady {step_time:.2f}s/step "
             f"on {n_chips} chip(s); loss={logs.get('train_loss')}; "
+            f"face_rate={logs.get('face_rate')}; "
             f"phase_means_s={phases}",
             file=sys.stderr,
         )

@@ -737,6 +737,10 @@ class DebiasTrainer:
 
         logs = {
             "num_denoising_steps": n_steps,
+            # detection rate: catches degenerate all-true/all-false states
+            # (random or mis-converted detector weights) that silently
+            # bypass the masked loss branches and the host OT
+            "face_rate": float(np.asarray(res1.faces.indicators).mean()),
             **metrics_lib.multi_attr_metrics(
                 probs_host, {a: np.asarray(res1.attrs[a].preds) for a in cfg.attributes}
             ),
