@@ -4,6 +4,7 @@ grad-mode differentiability, and data-parallel sharding on the 8-dev mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fairdiff.adapters import lora as lora_lib
 from fairdiff.parallel import create_mesh, shard_batch
@@ -121,3 +122,104 @@ def test_unet_context_mask_excludes_pad_positions():
     # and the mask must actually do something vs unmasked
     out3 = model.apply(params, x, t, ctx)
     assert float(jnp.abs(out1 - out3).max()) > 1e-6
+
+
+def test_generate_matches_independent_torch_composition():
+    """End-to-end generate() golden vs an INDEPENDENT composition with the
+    same converted weights: HF transformers CLIPTextModel (context) ->
+    torch diffusers-reference UNet (tests/torch_refs) for per-step eps ->
+    the independent numpy DPM-Solver++ (tests/test_dpm_solver) -> torch
+    VAE decode -> clamp. Pins the composition semantics the per-model
+    goldens cannot: CFG [uncond; cond] order, context broadcast, latent
+    scaling 1/0.18215, clamp, timestep grid."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    from torch_refs import TUNet, TVAE
+    from test_dpm_solver import _reference_dpm_2m
+
+    from fairdiff.io.sd_loader import convert_unet, convert_vae
+    from fairdiff.io.torch_convert import convert_clip_text
+    from fairdiff.sampling import dpm_solver as dpm
+    from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+
+    cfg = SDConfig.tiny()
+    t_text = cfg.text
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=t_text.vocab_size,
+        hidden_size=t_text.hidden_size,
+        intermediate_size=t_text.intermediate_size,
+        num_hidden_layers=t_text.num_hidden_layers,
+        num_attention_heads=t_text.num_attention_heads,
+        max_position_embeddings=t_text.max_position_embeddings,
+        hidden_act=t_text.hidden_act,
+        eos_token_id=t_text.eos_token_id,
+        bos_token_id=0,
+    )
+    hf_te = transformers.CLIPTextModel(hf_cfg).eval()
+    t_unet = TUNet(cfg.unet).eval()
+    t_vae = TVAE(cfg.vae).eval()
+
+    to_np = lambda m: {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params = {
+        "text_encoder": jax.tree.map(
+            jnp.asarray,
+            convert_clip_text(to_np(hf_te), t_text.num_hidden_layers),
+        ),
+        "unet": jax.tree.map(jnp.asarray, convert_unet(to_np(t_unet), cfg.unet)),
+        "vae": jax.tree.map(jnp.asarray, convert_vae(to_np(t_vae), cfg.vae)),
+    }
+
+    S = t_text.max_position_embeddings
+    rng = np.random.default_rng(3)
+    eos = t_text.eos_token_id
+    # fully dense ids (eos only at the last position) => all-ones masks on
+    # both sides, so the torch side needs no masking machinery
+    cond = np.concatenate([[0], rng.integers(1, eos - 1, S - 2), [eos]]).astype(np.int32)[None]
+    uncond = np.concatenate([[0], rng.integers(1, eos - 1, S - 2), [eos]]).astype(np.int32)[None]
+    N, n_steps, gs = 2, 3, 7.5
+    noises = rng.normal(size=(N, 8, 8, 4)).astype(np.float32)
+
+    sd = StableDiffusion(cfg)
+    ours = np.asarray(
+        sd.generate(params, jnp.asarray(noises), jnp.asarray(cond),
+                    jnp.asarray(uncond), n_steps, guidance_scale=gs)
+    )
+
+    with torch.no_grad():
+        ctx_c = hf_te(
+            input_ids=torch.from_numpy(cond.astype(np.int64)),
+            attention_mask=torch.ones(1, S, dtype=torch.long),
+        ).last_hidden_state.numpy()
+        ctx_u = hf_te(
+            input_ids=torch.from_numpy(uncond.astype(np.int64)),
+            attention_mask=torch.ones(1, S, dtype=torch.long),
+        ).last_hidden_state.numpy()
+    context = np.concatenate(
+        [np.repeat(ctx_u, N, 0), np.repeat(ctx_c, N, 0)], axis=0
+    )
+
+    def eps_np(lat2_nhwc, t):
+        lat = torch.from_numpy(
+            np.concatenate([lat2_nhwc, lat2_nhwc]).transpose(0, 3, 1, 2)
+        )
+        with torch.no_grad():
+            eps = t_unet(
+                lat, torch.tensor([t] * 2 * N), torch.from_numpy(context)
+            ).numpy().transpose(0, 2, 3, 1)
+        return eps[:N], eps[N:]
+
+    def eps_for_ref(lat2, t):  # _reference_dpm_2m passes [2N] concat
+        return eps_np(lat2[:N], t)
+
+    sched = dpm.make_schedule(cfg.solver)
+    final = _reference_dpm_2m(
+        eps_for_ref, noises.copy(), cfg.solver, sched, n_steps, gs
+    )
+    with torch.no_grad():
+        dec = t_vae.decode(
+            torch.from_numpy((final / cfg.vae.scaling_factor).transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+    ref = np.clip(dec, -1.0, 1.0)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
