@@ -510,7 +510,15 @@ class DebiasTrainer:
                     lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
                     ema, new_adapters,
                 )
-                return new_adapters, new_opt, new_ema
+                # global L2 norms (reference's per-step wandb param-norm
+                # sanity logs, exp-1:2034-2045)
+                l2 = lambda t: optax.global_norm(t)
+                norms = {
+                    "adapter_norm": l2(new_adapters),
+                    "ema_norm": l2(new_ema),
+                    "grad_norm": l2(grads),
+                }
+                return new_adapters, new_opt, new_ema, norms
 
             self._jit_cache["update"] = jax.jit(fn)
         return self._jit_cache["update"]
@@ -728,7 +736,7 @@ class DebiasTrainer:
         # torch_ema ramp-in decay (exp-1:823-824 semantics)
         decay = min(cfg.ema_decay, (1.0 + step) / (10.0 + step))
         with self.timers("update"):
-            new_adapters, new_opt, new_ema = self._update_fn()(
+            new_adapters, new_opt, new_ema, norms = self._update_fn()(
                 state.adapters, state.opt_state, state.ema, grads,
                 jnp.float32(decay),
             )
@@ -737,6 +745,7 @@ class DebiasTrainer:
 
         logs = {
             "num_denoising_steps": n_steps,
+            **{k: float(v) for k, v in norms.items()},
             # detection rate: catches degenerate all-true/all-false states
             # (random or mis-converted detector weights) that silently
             # bypass the masked loss branches and the host OT
