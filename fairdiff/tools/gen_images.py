@@ -85,15 +85,33 @@ def main(cfg: GenImagesConfig) -> list[Path]:
         tokenizer.eos_token_id = sd_cfg.text.vocab_size - 1
         tokenizer.pad_token_id = sd_cfg.text.vocab_size - 1
 
+    # .pth files are the REFERENCE's exported adapters
+    # (2-export-checkpoint.py output) — directly loadable here
+    def _load(path, kind):
+        if str(path).endswith((".pth", ".pt", ".bin")):
+            from fairdiff.io import reference_adapters as ra
+
+            got_kind, tree = ra.load_reference_adapters(path)
+            if got_kind != kind:
+                raise ValueError(
+                    f"{path}: contains {got_kind}, expected {kind}"
+                )
+            return tree
+        return load_adapters(path)
+
     unet_lora = te_lora = prefix_table = None
     if cfg.load_unet_lora_from:
-        unet_lora = load_adapters(cfg.load_unet_lora_from)
+        unet_lora = _load(cfg.load_unet_lora_from, "unet_lora")
     if cfg.load_text_encoder_lora_from:
-        te_lora = load_adapters(cfg.load_text_encoder_lora_from)
+        te_lora = _load(cfg.load_text_encoder_lora_from, "te_lora")
     if cfg.load_prefix_embedding_from:
-        prefix_table = jnp.asarray(
-            load_adapters(cfg.load_prefix_embedding_from)["prefix"]
-        )
+        p = cfg.load_prefix_embedding_from
+        if str(p).endswith((".pth", ".pt", ".bin")):
+            from fairdiff.io import reference_adapters as ra
+
+            prefix_table = jnp.asarray(ra.load_reference_prefix(p))
+        else:
+            prefix_table = jnp.asarray(load_adapters(p)["prefix"])
 
     if cfg.prompts_json:
         with open(cfg.prompts_json) as f:
