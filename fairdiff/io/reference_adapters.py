@@ -113,6 +113,48 @@ def load_reference_prefix(sd_or_path) -> np.ndarray:
     raise KeyError(f"no prefix embedding table in keys {list(sd)[:5]}")
 
 
+def _walk(tree: Mapping, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            yield from _walk(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def save_reference_te_lora(tree: Mapping) -> dict[str, np.ndarray]:
+    """fairdiff te_lora tree -> the reference's text_encoder_lora.pth key
+    layout (inverse of load_reference_te_lora)."""
+    out = {}
+    for path, val in _walk(tree):
+        layer, *proj, du = path
+        i = layer.removeprefix("layers_")
+        key = (
+            f"text_model.encoder.layers.{i}.{'.'.join(proj)}"
+            f".lora_linear_layer.{du}.weight"
+        )
+        out[key] = _np(val).T
+    return out
+
+
+def save_reference_unet_lora(tree: Mapping) -> dict[str, np.ndarray]:
+    """fairdiff unet_lora tree -> AttnProcsLayers.state_dict() key layout
+    (inverse of load_reference_unet_lora)."""
+    out = {}
+    for path, val in _walk(tree):
+        node, tb, attn, proj, du = path
+        if node == "mid_attn_0":
+            block = "mid_block.attentions.0"
+        else:
+            side, i, _, j = node.split("_")
+            block = f"{side}_blocks.{i}.attentions.{j}"
+        key = (
+            f"{block}.transformer_blocks.{tb.removeprefix('transformer_blocks_')}"
+            f".{attn}.processor.{proj}_lora.{du}.weight"
+        )
+        out[key] = _np(val).T
+    return out
+
+
 def load_reference_adapters(path: str | Path):
     """Dispatch on the reference's exported file name / key layout.
 

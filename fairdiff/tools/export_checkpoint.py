@@ -32,6 +32,10 @@ class ExportConfig:
     output_dir: str = ""  # default <checkpoint_dir>/<step>_exported
     tiny_smoke: bool = False
     seed: int = 42
+    # also write the reference's .pth layouts (text_encoder_lora[_EMA].pth,
+    # unet_lora[_EMA].pth, prefix_embedding[_EMA].pth) so the adapters are
+    # consumable by the reference's gen-images.py / diffusers loaders
+    reference_format: bool = False
 
 
 def main(cfg: ExportConfig) -> Path:
@@ -54,6 +58,31 @@ def main(cfg: ExportConfig) -> Path:
     for name, tree in state.adapters.items():
         save_adapters(out / f"{name}.npz", wrap(tree))
         save_adapters(out / f"{name}_EMA.npz", wrap(state.ema[name]))
+    if cfg.reference_format:
+        import numpy as np
+        import torch
+
+        from fairdiff.io import reference_adapters as ra
+
+        savers = {
+            "te_lora": ("text_encoder_lora", ra.save_reference_te_lora),
+            "unet_lora": ("unet_lora", ra.save_reference_unet_lora),
+            "prefix": (
+                "prefix_embedding",
+                lambda t: {"token_embedding.weight": np.asarray(t)},
+            ),
+        }
+        for name, (ref_name, fn) in savers.items():
+            if name not in state.adapters:
+                continue
+            for suffix, tree in (
+                ("", state.adapters[name]), ("_EMA", state.ema[name])
+            ):
+                sd = {
+                    k: torch.from_numpy(np.asarray(v).copy())
+                    for k, v in fn(jax.tree.map(np.asarray, tree)).items()
+                }
+                torch.save(sd, out / f"{ref_name}{suffix}.pth")
     print(f"[export] step {state.step} adapters -> {out}")
     return out
 

@@ -134,3 +134,26 @@ def test_prefix_import():
     kind, got = ra.load_reference_adapters({"token_embedding.weight": table})
     assert kind == "prefix"
     np.testing.assert_array_equal(got, table)
+
+
+def test_save_load_roundtrip():
+    """Export to the reference layout and re-import: identity."""
+    import chex
+
+    sd, params = _tiny_params()
+    te = lora_lib.init_lora(
+        params["text_encoder"], lora_lib.text_encoder_targets, 2,
+        jax.random.key(3),
+    )
+    back = ra.load_reference_te_lora(
+        ra.save_reference_te_lora(jax.tree.map(np.asarray, te))
+    )
+    chex.assert_trees_all_close(jax.tree.map(np.asarray, te), back, atol=0)
+
+    un = lora_lib.init_lora(
+        params["unet"], lora_lib.unet_attention_targets, 2, jax.random.key(4)
+    )
+    back_u = ra.load_reference_unet_lora(
+        ra.save_reference_unet_lora(jax.tree.map(np.asarray, un))
+    )
+    chex.assert_trees_all_close(jax.tree.map(np.asarray, un), back_u, atol=0)

@@ -88,6 +88,20 @@ def test_export_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     assert (Path(out) / "te_lora_EMA.npz").exists()
 
+    # reference-format export: the .pth must re-import to the same tree
+    out2 = export_main(ExportConfig(
+        experiment="exp1", tiny_smoke=True, seed=7,
+        checkpoint_dir=str(ckpt_dir), output_dir=str(tmp_path / "ref_exp"),
+        reference_format=True,
+    ))
+    pth = Path(out2) / "text_encoder_lora.pth"
+    assert pth.exists() and (Path(out2) / "text_encoder_lora_EMA.pth").exists()
+    from fairdiff.io import reference_adapters as ra
+
+    back = ra.load_reference_te_lora(str(pth))
+    for a, b in zip(jax.tree_util.tree_leaves(back), want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
 
 def test_eval_facerec_cli(tmp_path):
     """opensphere test.py parity: config-driven backbone + PairDataset
