@@ -511,13 +511,12 @@ class DebiasTrainer:
                     ema, new_adapters,
                 )
                 # global L2 norms (reference's per-step wandb param-norm
-                # sanity logs, exp-1:2034-2045)
+                # sanity logs, exp-1:2034-2045), stacked into ONE array so
+                # the host reads them in a single tunnel fetch
                 l2 = lambda t: optax.global_norm(t)
-                norms = {
-                    "adapter_norm": l2(new_adapters),
-                    "ema_norm": l2(new_ema),
-                    "grad_norm": l2(grads),
-                }
+                norms = jnp.stack(
+                    [l2(new_adapters), l2(new_ema), l2(grads)]
+                )
                 return new_adapters, new_opt, new_ema, norms
 
             self._jit_cache["update"] = jax.jit(fn)
@@ -743,9 +742,12 @@ class DebiasTrainer:
             jax.block_until_ready(new_adapters)
         new_state = DebiasState(new_adapters, new_opt, new_ema, step + 1)
 
+        norms_host = np.asarray(norms)  # one fetch for all three scalars
         logs = {
             "num_denoising_steps": n_steps,
-            **{k: float(v) for k, v in norms.items()},
+            "adapter_norm": float(norms_host[0]),
+            "ema_norm": float(norms_host[1]),
+            "grad_norm": float(norms_host[2]),
             # detection rate: catches degenerate all-true/all-false states
             # (random or mis-converted detector weights) that silently
             # bypass the masked loss branches and the host OT
