@@ -176,6 +176,9 @@ class OnnxGraph:
     initializers: dict[str, np.ndarray]
     inputs: list[str]  # graph inputs that are NOT initializers
     outputs: list[str]
+    # default-domain ai.onnx opset version (ops change spec defaults across
+    # opsets — e.g. Softmax axis semantics changed at 13)
+    opset: int = 13
 
 
 def _value_info_name(buf: bytes) -> str:
@@ -225,10 +228,25 @@ def parse_onnx(data: bytes | str) -> OnnxGraph:
     if isinstance(data, str):
         with open(data, "rb") as f:
             data = f.read()
+    graph: Optional[OnnxGraph] = None
+    opset: Optional[int] = None
     for field, _, val in _fields(data):
         if field == 7:  # ModelProto.graph
-            return _graph(val)
-    raise ValueError("no graph found in ONNX model")
+            graph = _graph(val)
+        elif field == 8:  # ModelProto.opset_import (OperatorSetIdProto)
+            domain, version = "", None
+            for f2, _, v2 in _fields(val):
+                if f2 == 1:
+                    domain = v2.decode()
+                elif f2 == 2:
+                    version = v2
+            if domain in ("", "ai.onnx") and version is not None:
+                opset = int(version)
+    if graph is None:
+        raise ValueError("no graph found in ONNX model")
+    if opset is not None:
+        graph.opset = opset
+    return graph
 
 
 # --------------------------------------------------------------------------
@@ -280,7 +298,14 @@ def _pool(x, attrs, kind):
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, window, strides4, padding
     )
-    return s / (ks[0] * ks[1])
+    if attrs.get("count_include_pad", 0):
+        return s / (ks[0] * ks[1])
+    # spec default count_include_pad=0: each output averages only the
+    # in-bounds samples of its window, so border divisors shrink
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(x), 0.0, jax.lax.add, window, strides4, padding
+    )
+    return s / counts
 
 
 def _resize_nearest(x, out_hw):
@@ -369,7 +394,15 @@ def build_onnx_fn(
             elif op == "Sigmoid":
                 out = jax.nn.sigmoid(i[0])
             elif op == "Softmax":
-                out = jax.nn.softmax(i[0], axis=a.get("axis", -1))
+                if graph.opset >= 13:
+                    out = jax.nn.softmax(i[0], axis=a.get("axis", -1))
+                else:
+                    # opset<13 semantics: flatten to 2D at `axis`
+                    # (default 1) and normalize over the trailing block
+                    ax = a.get("axis", 1) % max(i[0].ndim, 1)
+                    lead = int(np.prod(i[0].shape[:ax]))
+                    flat = i[0].reshape(lead, -1)
+                    out = jax.nn.softmax(flat, axis=-1).reshape(i[0].shape)
             elif op == "Exp":
                 out = jnp.exp(i[0])
             elif op == "Clip":
@@ -409,9 +442,9 @@ def build_onnx_fn(
                 out = i[0].reshape(int(np.prod(i[0].shape[:ax])), -1)
             elif op == "Gemm":
                 x, w = i[0], i[1]
-                if a.get("transA"):
+                if a.get("transA", 0):
                     x = x.T
-                if a.get("transB", 1):
+                if a.get("transB", 0):  # spec default 0 (B as stored)
                     w = w.T
                 out = a.get("alpha", 1.0) * (x @ w)
                 if len(i) > 2 and i[2] is not None:
@@ -558,6 +591,15 @@ def load_scrfd(
         )
         x = x[..., ::-1] * (127.5 / 128.0)  # RGB->BGR, insightface scaling
         x = x.transpose(0, 3, 1, 2)  # NCHW (onnx native)
+        # match the activation dtype to the weight tree: the interpreter
+        # uses raw lax ops (conv rejects mixed f32/bf16 operands), so a
+        # caller that cast the params must have the feed follow suit
+        float_leaf = next(
+            (v for v in jax.tree_util.tree_leaves(p)
+             if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)), None,
+        )
+        if float_leaf is not None:
+            x = x.astype(jnp.asarray(float_leaf).dtype)
         outs = fn(p, {in_name: x})
         raw = scrfd_raw_heads(outs, graph, (H, W), strides, num_anchors)
         scores, boxes, kps = decode_detections(raw, cfg)

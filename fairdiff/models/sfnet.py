@@ -5,7 +5,11 @@ builds `sfnet*` via opensphere's config factory
 (exp-1-debias-gender/1-main-debias.py:970-989; arch at
 opensphere/model/backbone/sfnet.py:124-199). Default configuration uses
 NO normalisation (norm_layer=Identity -> biased convs, identity features
-head), 112x112 input, flatten -> fc -> 512-d embedding.
+head), 112x112 input, flatten -> fc -> 512-d embedding. The reference's
+norm_layer=BatchNorm branch (sfnet.py:138-143) is dead code as shipped:
+no opensphere config passes norm_layer — including
+ms1m_sfnet64bn_sphereface.yml, whose net is `type: sfnet64` — so the
+BN-free form here is the faithful build for every runnable recipe.
 
 Converter: fairdiff.io.classifiers-style torch state_dict remap; the
 flatten order differs between NCHW and NHWC so the fc kernel is permuted

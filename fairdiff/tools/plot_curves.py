@@ -146,6 +146,9 @@ def main(cfg: PlotConfig) -> list[Path]:
         if cfg.keys == "auto"
         else [k.strip() for k in cfg.keys.split(",") if k.strip()]
     )
+    if not keys and overlays:
+        # csv-only invocation: one panel named after the first overlay
+        keys = [overlays[0][0]]
 
     out_dir = Path(cfg.save_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

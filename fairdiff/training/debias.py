@@ -463,14 +463,9 @@ class DebiasTrainer:
             cfg = self.cfg
             gs = cfg.guidance_scale
 
-            def surrogate(adapters, frozen, x, t, cot, cond_ids, uncond_ids):
+            def surrogate(adapters, context, key_mask, frozen, x, t, cot):
                 sd_params, _ = frozen
                 kw = self._gen_kwargs(adapters)
-                context, key_mask = self.sd.build_context(
-                    sd_params, cond_ids, uncond_ids, x.shape[0],
-                    te_lora=kw.get("te_lora"),
-                    prefix_table=kw.get("prefix_table"),
-                )
                 lat2 = jnp.concatenate([x, x], axis=0)
                 eps2 = self.sd.unet_eps(
                     sd_params, lat2, t, context, key_mask,
@@ -480,21 +475,52 @@ class DebiasTrainer:
                 guided = eps_u + gs * (eps_c - eps_u)
                 return jnp.sum(guided * cot)
 
-            grad_core = jax.grad(surrogate)
+            # grads w.r.t. (adapters, context): the UNet-LoRA leaves get
+            # their per-step contribution directly; the TE/prefix leaves
+            # flow through `context`, which is loop-invariant — so sum the
+            # context cotangents over the scan and apply ONE text-encoder
+            # VJP at the end instead of re-running the TE (fwd+bwd) in
+            # every one of the T x n_chunks scan iterations
+            grad_core = jax.grad(surrogate, argnums=(0, 1))
 
             def fn(frozen, adapters, traj_chunks, ts, cot_chunks, ci, ui):
+                sd_params, _ = frozen
+                p_lanes = traj_chunks.shape[1]
+
+                def make_context(adp):
+                    kw = self._gen_kwargs(adp)
+                    return self.sd.build_context(
+                        sd_params, ci, ui, p_lanes,
+                        te_lora=kw.get("te_lora"),
+                        prefix_table=kw.get("prefix_table"),
+                    )
+
+                (context, key_mask), ctx_vjp = jax.vjp(
+                    make_context, adapters
+                )
+
                 def body(acc, inp):
                     x, t, cot = inp
-                    g = grad_core(adapters, frozen, x, t, cot, ci, ui)
-                    return jax.tree_util.tree_map(jnp.add, acc, g), None
+                    acc_a, acc_c = acc
+                    g_a, g_c = grad_core(
+                        adapters, context, key_mask, frozen, x, t, cot
+                    )
+                    return (
+                        jax.tree_util.tree_map(jnp.add, acc_a, g_a),
+                        acc_c + g_c,
+                    ), None
 
                 zeros = jax.tree_util.tree_map(
                     lambda p: jnp.zeros_like(p), adapters
                 )
-                acc, _ = jax.lax.scan(
-                    body, zeros, (traj_chunks, ts, cot_chunks)
+                (acc_a, acc_c), _ = jax.lax.scan(
+                    body, (zeros, jnp.zeros_like(context)),
+                    (traj_chunks, ts, cot_chunks),
                 )
-                return acc
+                # int mask output takes a float0 cotangent
+                mask_cot = np.zeros(key_mask.shape, jax.dtypes.float0)
+                (g_te,) = ctx_vjp((acc_c, mask_cot))
+                return jax.tree_util.tree_map(jnp.add, acc_a, g_te)
 
             jitted = jax.jit(fn)
             self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
@@ -790,6 +816,7 @@ class DebiasTrainer:
         step: int = 0,
         prompt_texts: Optional[list[str]] = None,
         grids_dir: Optional[str] = None,
+        ori_grids: bool = True,
     ) -> dict:
         """Reference `evaluate_process` parity (exp-1:1449-1582): per
         eval prompt, generate with the evaluated weights AND with the
@@ -805,7 +832,7 @@ class DebiasTrainer:
         )
         fn_ori = (
             self._sample_analyze_fn(cfg.eval_denoising_steps, False, full=False)
-            if grids_dir
+            if grids_dir and ori_grids
             else None
         )
         for i, (cond_ids, uncond_ids) in enumerate(prompt_ids_list):
@@ -839,11 +866,15 @@ class DebiasTrainer:
                     images, res,
                 )
                 # frozen-baseline comparison on the same noises
-                # (exp-1:1464-1501)
-                images_o, res_o = fn_ori(None, noises, cond_ids, uncond_ids)
-                self._eval_grid(
-                    base / f"eval_{name}_{step}_{label}_ori.jpg", images_o, res_o
-                )
+                # (exp-1:1464-1501); fn_ori is None when the caller
+                # already produced the identical baselines this step
+                # (e.g. fit()'s EMA pass reuses the main pass's)
+                if fn_ori is not None:
+                    images_o, res_o = fn_ori(None, noises, cond_ids, uncond_ids)
+                    self._eval_grid(
+                        base / f"eval_{name}_{step}_{label}_ori.jpg",
+                        images_o, res_o,
+                    )
         probs = {a: np.concatenate(v) for a, v in all_probs.items()}
         preds = {a: np.concatenate(v) for a, v in all_preds.items()}
         out = metrics_lib.multi_attr_metrics(probs, preds)
@@ -906,6 +937,9 @@ class DebiasTrainer:
                     state.ema, val_prompt_ids, root,
                     name="ema", step=state.step,
                     prompt_texts=val_prompt_texts, grids_dir=grids_dir,
+                    # the frozen-baseline images depend only on (root,
+                    # prompt) — the "main" call just wrote them
+                    ori_grids=False,
                 )
                 self.logger(
                     state.step, {f"eval_ema_{k}": v for k, v in ev_ema.items()}

@@ -77,7 +77,11 @@ def load_guidance_stack(
         from fairdiff.io.onnx_bridge import load_scrfd
 
         detect_fn, det_params = load_scrfd(str(d / "det_10g.onnx"))
-        params["detector"] = cast_floats(det_params, dtype)
+        # keep the onnx graph in its stored f32: the reference executes
+        # this detector in fp32 through onnxruntime (exp-1:938-945), the
+        # weights are ~17MB, and box-regression heads are precision-
+        # sensitive; the bridge runs whatever dtype the tree carries
+        params["detector"] = det_params
     else:
         det_cfg = DetectorConfig()
         det_net = FaceDetectorNet(det_cfg, dtype=dtype)

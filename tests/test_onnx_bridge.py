@@ -83,12 +83,15 @@ def value_info(name: str) -> bytes:
     return sfield(1, name)
 
 
-def model(nodes, inits, inputs, outputs) -> bytes:
+def model(nodes, inits, inputs, outputs, opset=None) -> bytes:
     g = b"".join(lfield(1, n) for n in nodes)
     g += b"".join(lfield(5, tensor_proto(n, a)) for n, a in inits.items())
     g += b"".join(lfield(11, value_info(i)) for i in inputs)
     g += b"".join(lfield(12, value_info(o)) for o in outputs)
-    return lfield(7, g)
+    out = lfield(7, g)
+    if opset is not None:  # ModelProto.opset_import (default ai.onnx domain)
+        out += lfield(8, sfield(1, "") + tag(2, 0) + vint(opset))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -216,3 +219,109 @@ def test_load_scrfd_end_to_end(tmp_path):
     assert det.landmarks.shape == (3, 5, 2)
     # decoded coords are in the ORIGINAL image frame
     assert float(jnp.abs(det.bboxes).max()) <= 64 * 3  # sane scale
+
+# -------- spec-default regressions (Gemm/AveragePool/Softmax/dtype) --------
+
+
+def test_gemm_spec_defaults_no_transpose():
+    """Gemm transA/transB default to 0 in the ONNX spec: a node that omits
+    them must compute x @ B with B as stored."""
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(3, 5)).astype(np.float32)
+    w = rng.normal(size=(5, 2)).astype(np.float32)
+    b = rng.normal(size=(2,)).astype(np.float32)
+    data = model(
+        nodes=[node("Gemm", ["x", "w", "b"], ["y"])],
+        inits={"w": w, "b": b}, inputs=["x"], outputs=["y"],
+    )
+    fn, params = build_onnx_fn(parse_onnx(data))
+    out = fn(params, {"x": jnp.asarray(x)})["y"]
+    np.testing.assert_allclose(np.asarray(out), x @ w + b, rtol=1e-5)
+
+
+def test_gemm_explicit_transb():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 5)).astype(np.float32)
+    w = rng.normal(size=(2, 5)).astype(np.float32)  # stored transposed
+    data = model(
+        nodes=[node("Gemm", ["x", "w"], ["y"], attr_i("transB", 1))],
+        inits={"w": w}, inputs=["x"], outputs=["y"],
+    )
+    fn, params = build_onnx_fn(parse_onnx(data))
+    out = fn(params, {"x": jnp.asarray(x)})["y"]
+    np.testing.assert_allclose(np.asarray(out), x @ w.T, rtol=1e-5)
+
+
+def test_average_pool_excludes_padding_by_default():
+    """Spec default count_include_pad=0: border windows divide by the
+    in-bounds sample count (torch count_include_pad=False)."""
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1, 2, 5, 5)).astype(np.float32)
+    nodes = [node("AveragePool", ["x"], ["y"],
+                  attr_ints("kernel_shape", [3, 3]),
+                  attr_ints("strides", [1, 1]),
+                  attr_ints("pads", [1, 1, 1, 1]))]
+    fn, params = build_onnx_fn(
+        parse_onnx(model(nodes, {}, ["x"], ["y"]))
+    )
+    out = fn(params, {"x": jnp.asarray(x)})["y"]
+    ref = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 3, 1, padding=1, count_include_pad=False
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+    nodes_inc = [node("AveragePool", ["x"], ["y"],
+                      attr_ints("kernel_shape", [3, 3]),
+                      attr_ints("strides", [1, 1]),
+                      attr_ints("pads", [1, 1, 1, 1]),
+                      attr_i("count_include_pad", 1))]
+    fn2, p2 = build_onnx_fn(parse_onnx(model(nodes_inc, {}, ["x"], ["y"])))
+    ref_inc = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 3, 1, padding=1, count_include_pad=True
+    ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(fn2(p2, {"x": jnp.asarray(x)})["y"]), ref_inc,
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_softmax_old_opset_flattens_at_axis_1():
+    """opset<13 Softmax: default axis=1 and flatten-to-2D semantics —
+    normalization runs over ALL trailing dims, not just the last."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    data = model(
+        nodes=[node("Softmax", ["x"], ["y"])], inits={},
+        inputs=["x"], outputs=["y"], opset=11,
+    )
+    graph = parse_onnx(data)
+    assert graph.opset == 11
+    fn, params = build_onnx_fn(graph)
+    out = np.asarray(fn(params, {"x": jnp.asarray(x)})["y"])
+    flat = x.reshape(2, 12)
+    e = np.exp(flat - flat.max(axis=1, keepdims=True))
+    ref = (e / e.sum(axis=1, keepdims=True)).reshape(x.shape)
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+    # modern opset keeps last-axis default
+    fn13, p13 = build_onnx_fn(parse_onnx(model(
+        [node("Softmax", ["x"], ["y"])], {}, ["x"], ["y"], opset=13,
+    )))
+    out13 = np.asarray(fn13(p13, {"x": jnp.asarray(x)})["y"])
+    e3 = np.exp(x - x.max(axis=-1, keepdims=True))
+    np.testing.assert_allclose(out13, e3 / e3.sum(axis=-1, keepdims=True),
+                               rtol=1e-5)
+
+
+def test_scrfd_detect_accepts_cast_param_tree(tmp_path):
+    """load_guidance_stack-style bf16 casting must not crash the raw-lax
+    interpreter: the feed follows the weight tree's dtype."""
+    from fairdiff.io.checkpoints import cast_floats
+
+    path = tmp_path / "det_tiny.onnx"
+    path.write_bytes(_scrfd_like_model())
+    detect, params = load_scrfd(str(path), input_size=(32, 32))
+    images = jnp.asarray(
+        np.random.default_rng(8).uniform(-1, 1, (2, 48, 48, 3)), jnp.float32
+    )
+    det = jax.jit(detect)(cast_floats(params, jnp.bfloat16), images)
+    assert det.indicators.shape == (2,)

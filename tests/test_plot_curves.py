@@ -61,6 +61,14 @@ def test_main_writes_panels_and_backing_csv(tmp_path):
     assert "reference" not in (out / "gender_gap.csv").read_text()
 
 
+def test_main_csv_only_renders_a_panel(tmp_path):
+    ref_csv = tmp_path / "ref.csv"
+    ref_csv.write_text("Step,val\n0,0.9\n100,0.4\n")
+    written = main(PlotConfig(csv=f"reference={ref_csv}",
+                              save_dir=str(tmp_path / "o")))
+    assert [p.stem for p in written] == ["reference"]
+
+
 def test_main_auto_keys_only_present_metrics(tmp_path):
     run = tmp_path / "m.jsonl"
     _write_jsonl(run, [{"step": 0, "gender_gap": 0.1, "unknown_key": 5.0}])

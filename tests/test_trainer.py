@@ -306,6 +306,14 @@ def test_evaluate_artifacts_and_per_prompt_metrics(tmp_path):
     label = "a_photo_of_a_doctor"
     assert (tmp_path / f"eval_main_40_{label}_generated.jpg").exists()
     assert (tmp_path / f"eval_main_40_{label}_ori.jpg").exists()
+    # the EMA pass reuses the main pass's frozen baselines (identical
+    # noises -> identical images): ori_grids=False writes no ori grid
+    trainer.evaluate(
+        state.ema, [prompt_ids], jax.random.key(3),
+        name="ema", step=40, grids_dir=str(tmp_path), ori_grids=False,
+    )
+    assert (tmp_path / "eval_ema_40_prompt0_generated.jpg").exists()
+    assert not (tmp_path / "eval_ema_40_prompt0_ori.jpg").exists()
 
 
 def test_plot_in_grid_multi(tmp_path):
