@@ -140,6 +140,47 @@ def test_unet_lora_training_path():
     assert moved
 
 
+def test_bias_convergence_end_to_end():
+    """North-star capability check on the synthetic stack: the FULL 4-phase
+    loop (sample -> detect/classify -> OT targets -> linearized backward ->
+    AdamW) must *drive the bias metric toward target*, not merely move
+    parameters. The reference demonstrates this only with real SD weights
+    (exp-1 eval logs); real checkpoints cannot exist in this environment,
+    so this is the strongest in-env falsification of the gradient path:
+    a sign error anywhere in the chain (eps cotangents, grad rescale,
+    dynamic weights, OT targets) makes this fail.
+
+    Measured behaviour (seeded, CPU-deterministic): |gender_gap| starts
+    pinned at 1.0 (every generated face classified one gender) and falls
+    to a ~0.5-mean fluctuation around the 0.5/0.5 target within ~20
+    steps; the fairness CE loss drops ~0.70 -> ~0.55.
+    """
+    trainer, prompt_ids = _setup(
+        learning_rate=2e-3,  # tiny models need a larger lr to move in 20 steps
+        train_images_per_prompt=8,
+        train_micro_batch=4,
+        max_train_steps=100,
+    )
+    state = trainer.init_state(jax.random.key(1))
+    root = jax.random.key(7)
+    gaps, fair = [], []
+    for step in range(20):
+        state, logs = trainer.train_step(
+            state, prompt_ids, jax.random.fold_in(root, step)
+        )
+        gaps.append(logs["gender_gap_abs"])
+        fair.append(logs.get("train_loss_fair", np.nan))
+    early_gap, late_gap = np.mean(gaps[:5]), np.mean(gaps[-10:])
+    assert early_gap >= 0.9, f"expected degenerate start, got {early_gap}"
+    assert late_gap <= 0.6, (
+        f"bias did not converge toward target: first5 |gap|={early_gap}, "
+        f"last10 |gap|={late_gap}, history={gaps}"
+    )
+    assert np.nanmean(fair[-10:]) < np.nanmean(fair[:5]), (
+        f"fairness loss did not decrease: {fair}"
+    )
+
+
 def test_prefix_training_path():
     trainer, prompt_ids = _setup(
         train_text_encoder=False, train_unet=False, train_prefix=True,
