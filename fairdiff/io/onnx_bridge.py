@@ -99,6 +99,7 @@ def _tensor(buf: bytes) -> tuple[str, np.ndarray]:
     raw: Optional[bytes] = None
     float_data: list[float] = []
     int_data: list[int] = []
+    external = False
     for field, wire, val in _fields(buf):
         if field == 1:  # dims
             dims += _packed_varints(val) if wire == 2 else [val]
@@ -106,20 +107,40 @@ def _tensor(buf: bytes) -> tuple[str, np.ndarray]:
             dtype = _DTYPES[val]
         elif field == 4:  # float_data (packed)
             float_data += list(np.frombuffer(val, "<f4"))
-        elif field in (5, 7):  # int32_data / int64_data (packed varints)
+        elif field in (5, 7, 11):  # int32/int64/uint64_data (packed varints)
             int_data += [_signed(v) for v in _packed_varints(val)]
+        elif field == 6:  # string_data
+            raise NotImplementedError(
+                "ONNX string tensors are not supported by the bridge"
+            )
         elif field == 8:
             name = val.decode()
         elif field == 9:
             raw = val
+        elif field == 10:  # double_data (packed fixed64)
+            float_data += list(np.frombuffer(val, "<f8"))
+        elif field in (13, 14):  # external_data / data_location
+            # field 14 appears only when EXTERNAL (default 0 is omitted)
+            external = True
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype).reshape(dims).copy()
     elif float_data:
         arr = np.asarray(float_data, dtype=dtype).reshape(dims)
     elif int_data:
         arr = np.asarray(int_data, dtype=dtype).reshape(dims)
-    else:
+    elif int(np.prod(dims)) == 0:
         arr = np.zeros(dims, dtype=dtype)
+    else:
+        # never fabricate zero weights for data we failed to decode —
+        # a detector that silently scores everything 0.5 is worse than
+        # an error naming the tensor
+        raise NotImplementedError(
+            f"ONNX initializer {name!r} ({dims}, {np.dtype(dtype).name}) has "
+            + ("externally-stored data (save the model with all tensors "
+               "inline: onnx.save(..., save_as_external_data=False) or "
+               "convert_external_data_to_raw_data)" if external
+               else "no inline data in a storage field this parser knows")
+        )
     return name, arr
 
 
@@ -260,13 +281,30 @@ def _pair(v, default):
     return tuple(v[-2:]) if len(v) >= 2 else (v[0], v[0])
 
 
+def _auto_pads(in_hw, ks, strides, dil, mode):
+    """Explicit per-dim (lo, hi) pads for ONNX auto_pad SAME_UPPER/LOWER:
+    output size = ceil(in/stride); the odd padding unit goes at the END
+    for SAME_UPPER (== XLA "SAME") and at the START for SAME_LOWER."""
+    out = []
+    for size, k, s, d in zip(in_hw, ks, strides, dil):
+        eff_k = (k - 1) * d + 1
+        total = max((-(-size // s) - 1) * s + eff_k - size, 0)
+        half, odd = divmod(total, 2)
+        out.append((half + odd, half) if mode == "SAME_LOWER"
+                   else (half, half + odd))
+    return out
+
+
 def _conv(x, w, b, attrs):
     strides = _pair(attrs.get("strides"), 1)
     dil = _pair(attrs.get("dilations"), 1)
     groups = int(attrs.get("group", 1))
     pads = attrs.get("pads")
-    if attrs.get("auto_pad", "NOTSET") in ("SAME_UPPER", "SAME_LOWER"):
-        padding = "SAME"
+    auto = attrs.get("auto_pad", "NOTSET")
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        padding = _auto_pads(
+            x.shape[2:], w.shape[2:], strides, dil, auto
+        )
     elif pads is None:
         padding = [(0, 0), (0, 0)]
     else:  # onnx order: [top, left, bottom, right]
@@ -285,10 +323,15 @@ def _pool(x, attrs, kind):
     ks = _pair(attrs.get("kernel_shape"), 1)
     strides = _pair(attrs.get("strides"), 1)
     pads = attrs.get("pads")
-    padding = (
-        [(0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])]
-        if pads else [(0, 0)] * 4
-    )
+    auto = attrs.get("auto_pad", "NOTSET")
+    if auto in ("SAME_UPPER", "SAME_LOWER"):
+        hw = _auto_pads(x.shape[2:], ks, strides, (1, 1), auto)
+        padding = [(0, 0), (0, 0), *hw]
+    else:
+        padding = (
+            [(0, 0), (0, 0), (pads[0], pads[2]), (pads[1], pads[3])]
+            if pads else [(0, 0)] * 4
+        )
     window = (1, 1) + ks
     strides4 = (1, 1) + strides
     if kind == "max":
@@ -333,7 +376,7 @@ def build_onnx_fn(
         "Reshape": (1,), "Resize": (1, 2, 3), "Upsample": (1,),
         "Slice": (1, 2, 3, 4), "Unsqueeze": (1,), "Squeeze": (1,),
         "Gather": (1,), "Clip": (1, 2), "Expand": (1,), "Tile": (1,),
-        "ConstantOfShape": (0,),
+        "ConstantOfShape": (0,), "Range": (0, 1, 2),
     }
     # names needed as concrete values, closed backwards through their
     # producing subgraph (stopping at Shape, whose output is always
@@ -510,6 +553,31 @@ def build_onnx_fn(
                 for s, e, ax, st in zip(starts, ends, axes, steps):
                     sl[ax] = slice(s, None if e >= 2**31 - 1 else e, st)
                 out = i[0][tuple(sl)]
+            elif op == "ConstantOfShape":
+                shape = [int(x) for x in np.asarray(i[0]).reshape(-1)]
+                fill = a.get("value")
+                fill = (
+                    np.zeros((), np.float32) if fill is None
+                    else np.asarray(fill).reshape(())
+                )
+                out = np.full(shape, fill, dtype=fill.dtype)
+            elif op == "Expand":
+                shape = [int(x) for x in np.asarray(i[1]).reshape(-1)]
+                # onnx Expand is two-sided numpy broadcasting: an input
+                # dim may exceed the target dim's 1
+                mod = np if _is_static(i[0]) else jnp
+                shape = list(mod.broadcast_shapes(tuple(i[0].shape), tuple(shape)))
+                out = mod.broadcast_to(i[0], shape)
+            elif op == "Tile":
+                reps = [int(x) for x in np.asarray(i[1]).reshape(-1)]
+                mod = np if _is_static(i[0]) else jnp
+                out = mod.tile(i[0], reps)
+            elif op == "Range":
+                s0, lim, d0 = (int(np.asarray(v)) for v in i[:3])
+                out = np.arange(s0, lim, d0, dtype=np.asarray(i[0]).dtype)
+            elif op == "Where":
+                mod = np if all(_is_static(v) for v in i[:3]) else jnp
+                out = mod.where(i[0], i[1], i[2])
             else:
                 raise NotImplementedError(f"ONNX op {op} ({node.name})")
             outs = [out] if not isinstance(out, tuple) else list(out)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 from typing import Optional
@@ -16,17 +17,22 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # temp + atomic rename: concurrent first runs must not CDLL a
+    # half-written .so (see imageloader_lib._build)
+    tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.tmp")
     try:
         subprocess.run(
             [
                 "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                str(_DIR / "emd.cpp"), "-o", str(_SO),
+                str(_DIR / "emd.cpp"), "-o", str(tmp),
             ],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        tmp.unlink(missing_ok=True)
         return False
 
 

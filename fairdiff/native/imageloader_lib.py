@@ -9,6 +9,7 @@ toolchain or libraries are unavailable — callers keep the cv2 path.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Sequence
@@ -22,18 +23,25 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # compile to a process-unique temp name and os.replace() into place:
+    # concurrent first-run processes must never CDLL a half-written .so
+    # (each builds its own temp; the atomic rename makes last-writer-wins
+    # safe since the contents are identical)
+    tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.tmp")
     try:
         subprocess.run(
             [
                 "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                str(_DIR / "imageloader.cpp"), "-o", str(_SO),
+                str(_DIR / "imageloader.cpp"), "-o", str(tmp),
                 "-ljpeg", "-lpng", "-lpthread",
             ],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        tmp.unlink(missing_ok=True)
         return False
 
 

@@ -144,6 +144,11 @@ class DebiasTrainer:
         self.params = frozen_params
         self.logger = logger or (lambda step, logs: None)
         self._jit_cache: dict = {}
+        # rendered frozen-baseline eval grids, keyed by
+        # (eval root key bits, prompt label): the ori images depend only
+        # on (root, prompt), so later eval steps copy the file instead of
+        # re-running a full generation pass per prompt
+        self._ori_grid_cache: dict = {}
         from fairdiff.utils.profiling import PhaseTimers
 
         self.timers = PhaseTimers()
@@ -698,8 +703,11 @@ class DebiasTrainer:
                     # each chunk stays aligned with the data-axis sharding
                     # (a lane-slice of a sharded batch would reshard).
                     default_p = n if self.mesh is not None else m
-                    p = int(os.environ.get("FAIRDIFF_PAIR_LANES", default_p))
-                    if n % p:
+                    try:
+                        p = int(os.environ.get("FAIRDIFF_PAIR_LANES", default_p))
+                    except ValueError:
+                        p = default_p
+                    if p <= 0 or n % p:
                         p = default_p
                     npc = n // p
                     T = int(n_steps)
@@ -827,6 +835,7 @@ class DebiasTrainer:
         all_probs: dict[str, list] = {a: [] for a in cfg.attributes}
         all_preds: dict[str, list] = {a: [] for a in cfg.attributes}
         per_prompt: dict[str, float] = {}
+        used_labels: set[str] = set()
         fn = self._sample_analyze_fn(
             cfg.eval_denoising_steps, adapters is not None, full=False
         )
@@ -855,6 +864,12 @@ class DebiasTrainer:
                 prompt_texts[i] if prompt_texts and i < len(prompt_texts)
                 else f"prompt{i}"
             ).strip().replace(" ", "_").replace("/", "_")[:60]
+            # sanitization (truncation, space/slash folding) can collide
+            # distinct prompts; a collision would silently overwrite the
+            # earlier prompt's metrics and grid files
+            while label in used_labels:
+                label = f"{label}_p{i}"
+            used_labels.add(label)
             for k, v in metrics_lib.multi_attr_metrics(probs_i, preds_i).items():
                 per_prompt[f"{k}_{label}"] = v
             if grids_dir:
@@ -868,13 +883,28 @@ class DebiasTrainer:
                 # frozen-baseline comparison on the same noises
                 # (exp-1:1464-1501); fn_ori is None when the caller
                 # already produced the identical baselines this step
-                # (e.g. fit()'s EMA pass reuses the main pass's)
+                # (e.g. fit()'s EMA pass reuses the main pass's). The
+                # baseline depends only on (eval root, prompt), so across
+                # eval steps the rendered grid is byte-identical — copy
+                # the cached file instead of re-running the generation
                 if fn_ori is not None:
-                    images_o, res_o = fn_ori(None, noises, cond_ids, uncond_ids)
-                    self._eval_grid(
-                        base / f"eval_{name}_{step}_{label}_ori.jpg",
-                        images_o, res_o,
+                    dst = base / f"eval_{name}_{step}_{label}_ori.jpg"
+                    ckey = (
+                        np.asarray(jax.random.key_data(root_key)).tobytes(),
+                        label,
                     )
+                    src = self._ori_grid_cache.get(ckey)
+                    if src is not None and src.exists():
+                        if src != dst:
+                            import shutil
+
+                            shutil.copyfile(src, dst)
+                    else:
+                        images_o, res_o = fn_ori(
+                            None, noises, cond_ids, uncond_ids
+                        )
+                        self._eval_grid(dst, images_o, res_o)
+                        self._ori_grid_cache[ckey] = dst
         probs = {a: np.concatenate(v) for a, v in all_probs.items()}
         preds = {a: np.concatenate(v) for a, v in all_preds.items()}
         out = metrics_lib.multi_attr_metrics(probs, preds)

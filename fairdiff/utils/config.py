@@ -105,21 +105,28 @@ def cli_parse(cls: Type[T], argv: list[str] | None = None) -> T:
     """argparse front-end: `--config file.yaml` plus `--key value` overrides
     for any scalar dataclass field (parity with the reference CLIs)."""
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=str, default=None)
     hints = typing.get_type_hints(cls)
+    field_names: set[str] = set()
     for f in dataclasses.fields(cls):
         annot = hints[f.name]
         if dataclasses.is_dataclass(annot):
             continue
         parser.add_argument(f"--{f.name}", type=str, default=None)
+        field_names.add(f.name)
+    # when the dataclass itself has a `config` field (the facerec CLIs:
+    # it names the experiment YAML, not a dataclass-override YAML),
+    # --config sets that field like any other; otherwise --config loads
+    # a YAML of dataclass-field overrides
+    if "config" not in field_names:
+        parser.add_argument("--config", type=str, default=None)
     ns = parser.parse_args(argv)
     cfg = cls()
-    if ns.config:
+    if "config" not in field_names and ns.config:
         cfg = load_yaml(cfg, ns.config)
     overrides = {
         k: v
         for k, v in vars(ns).items()
-        if k != "config" and v is not None
+        if k in field_names and v is not None
     }
     if overrides:
         cfg = merge(cfg, overrides)

@@ -325,3 +325,120 @@ def test_scrfd_detect_accepts_cast_param_tree(tmp_path):
     )
     det = jax.jit(detect)(cast_floats(params, jnp.bfloat16), images)
     assert det.indicators.shape == (2,)
+
+
+def test_conv_auto_pad_same_lower_and_upper():
+    """ONNX auto_pad: SAME_UPPER puts the odd padding unit at the end,
+    SAME_LOWER at the start — stride-2 on an even input makes total
+    padding odd, so the two modes differ by a one-pixel shift."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(1, 2, 8, 8)).astype(np.float32)
+    w = rng.normal(size=(3, 2, 3, 3)).astype(np.float32) * 0.3
+
+    outs = {}
+    for mode in ("SAME_UPPER", "SAME_LOWER"):
+        nodes = [node("Conv", ["x", "w"], ["y"],
+                      attr_ints("strides", [2, 2]),
+                      attr_ints("kernel_shape", [3, 3]),
+                      attr_s("auto_pad", mode))]
+        fn, params = build_onnx_fn(
+            parse_onnx(model(nodes, {"w": w}, ["x"], ["y"]))
+        )
+        outs[mode] = np.asarray(fn(params, {"x": jnp.asarray(x)})["y"])
+
+    # total = (ceil(8/2)-1)*2 + 3 - 8 = 1 -> UPPER pads (0,1), LOWER (1,0)
+    with torch.no_grad():
+        tx = torch.from_numpy(x)
+        ref_u = torch.nn.functional.conv2d(
+            torch.nn.functional.pad(tx, (0, 1, 0, 1)),
+            torch.from_numpy(w), stride=2,
+        ).numpy()
+        ref_l = torch.nn.functional.conv2d(
+            torch.nn.functional.pad(tx, (1, 0, 1, 0)),
+            torch.from_numpy(w), stride=2,
+        ).numpy()
+    assert outs["SAME_UPPER"].shape == outs["SAME_LOWER"].shape == (1, 3, 4, 4)
+    np.testing.assert_allclose(outs["SAME_UPPER"], ref_u, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["SAME_LOWER"], ref_l, rtol=1e-5, atol=1e-5)
+    assert np.abs(outs["SAME_UPPER"] - outs["SAME_LOWER"]).max() > 1e-3
+
+
+def test_pool_auto_pad_same_upper():
+    """MaxPool must honor auto_pad (not silently use VALID): output is
+    ceil(in/stride) with -inf padding at the end for SAME_UPPER."""
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(1, 2, 7, 7)).astype(np.float32)
+    nodes = [node("MaxPool", ["x"], ["y"],
+                  attr_ints("kernel_shape", [2, 2]),
+                  attr_ints("strides", [2, 2]),
+                  attr_s("auto_pad", "SAME_UPPER"))]
+    fn, params = build_onnx_fn(parse_onnx(model(nodes, {}, ["x"], ["y"])))
+    out = np.asarray(fn(params, {"x": jnp.asarray(x)})["y"])
+    assert out.shape == (1, 2, 4, 4)  # ceil(7/2), not floor
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 2, 2, ceil_mode=True
+    ).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_constant_of_shape_expand_tile_range():
+    """torch dynamic-axes exports emit ConstantOfShape/Expand/Tile in
+    shape subgraphs; the interpreter must fold + execute them."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    bias = rng.normal(size=(3, 1)).astype(np.float32)
+
+    float_one = np.asarray([1.0], np.float32)
+    nodes = [
+        # ones = ConstantOfShape(Shape(x), value=1.0); y1 = x + ones
+        node("Shape", ["x"], ["shp"]),
+        node("ConstantOfShape", ["shp"], ["ones"],
+             sfield(1, "value") + lfield(5, tensor_proto("", float_one))),
+        node("Add", ["x", "ones"], ["y1"]),
+        # y2 = x * Expand(bias[3,1] -> [2,3,4]) (two-sided broadcast)
+        node("Expand", ["bias", "shp"], ["bias_e"]),
+        node("Mul", ["x", "bias_e"], ["y2"]),
+        # y3 = Tile(range(0,4,1) -> [8]) as int64 shape-side data
+        node("Range", ["r0", "r4", "r1"], ["rng_v"]),
+        node("Tile", ["rng_v", "reps"], ["y3"]),
+    ]
+    inits = {
+        "bias": bias,
+        "r0": np.asarray(0, np.int64), "r4": np.asarray(4, np.int64),
+        "r1": np.asarray(1, np.int64), "reps": np.asarray([2], np.int64),
+    }
+    fn, params = build_onnx_fn(
+        parse_onnx(model(nodes, inits, ["x"], ["y1", "y2", "y3"]))
+    )
+    out = jax.jit(lambda p, f: fn(p, f))(params, {"x": jnp.asarray(x)})
+    np.testing.assert_allclose(np.asarray(out["y1"]), x + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["y2"]), x * np.broadcast_to(bias, (2, 3, 4)),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["y3"]), np.tile(np.arange(4, dtype=np.int64), 2)
+    )
+
+
+def test_tensor_double_data_and_external_data():
+    """double_data (field 10) decodes; externally-stored tensors raise a
+    named error instead of silently materializing zeros."""
+    from fairdiff.io.onnx_bridge import _tensor
+
+    vals = np.asarray([1.5, -2.25, 3.0], np.float64)
+    buf = tag(1, 0) + vint(3)          # dims [3]
+    buf += tag(2, 0) + vint(11)        # data_type DOUBLE
+    buf += sfield(8, "dbl")
+    buf += lfield(10, vals.tobytes())  # double_data packed
+    name, arr = _tensor(buf)
+    assert name == "dbl"
+    np.testing.assert_allclose(arr, vals)
+
+    ext = tag(1, 0) + vint(4)          # dims [4], float32, no inline data
+    ext += tag(2, 0) + vint(1)
+    ext += sfield(8, "ext_w")
+    ext += lfield(13, sfield(1, "location") + sfield(2, "weights.bin"))
+    ext += tag(14, 0) + vint(1)        # data_location = EXTERNAL
+    with pytest.raises(NotImplementedError, match="ext_w.*external"):
+        _tensor(ext)

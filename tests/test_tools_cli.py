@@ -167,3 +167,43 @@ def test_convert_guidance_cli(tmp_path):
     ))
     assert (out / "face_feats.pkl").exists()
     assert (out / "detector.npz").exists()
+
+
+def test_cli_parse_both_config_flavors(tmp_path):
+    """--config means 'dataclass-override YAML' for most CLIs but is a
+    regular field for the facerec CLIs (it names the experiment YAML).
+    Registering both used to crash argparse with a conflicting-option
+    error, breaking every `python -m fairdiff.tools.*_facerec` invocation."""
+    import dataclasses
+
+    from fairdiff.utils.config import cli_parse
+
+    @dataclasses.dataclass(frozen=True)
+    class WithConfigField:
+        config: str = ""
+        seed: int = 0
+
+    got = cli_parse(
+        WithConfigField, ["--config", "exp.yml", "--seed", "3"]
+    )
+    assert got.config == "exp.yml" and got.seed == 3
+
+    @dataclasses.dataclass(frozen=True)
+    class WithoutConfigField:
+        lr: float = 0.1
+        name: str = "a"
+
+    yml = tmp_path / "o.yaml"
+    yml.write_text("lr: 0.5\n")
+    got2 = cli_parse(
+        WithoutConfigField, ["--config", str(yml), "--name", "b"]
+    )
+    assert got2.lr == 0.5 and got2.name == "b"
+
+    # real CLI configs keep parsing through argparse (the regression was
+    # import-time-invisible: only parse_args crashed)
+    from fairdiff.tools.eval_facerec import EvalFaceRecCLIConfig
+    from fairdiff.tools.train_facerec import FaceRecCLIConfig
+
+    assert cli_parse(FaceRecCLIConfig, ["--config", "x.yml"]).config == "x.yml"
+    assert cli_parse(EvalFaceRecCLIConfig, ["--batch_size", "8"]).batch_size == 8

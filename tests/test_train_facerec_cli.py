@@ -95,6 +95,31 @@ def test_shipped_facerec_configs_build():
         if "head" in cfg["model"]:  # eval-only configs (test_ijb*, combined)
             fn, kwargs = build_head(cfg["model"]["head"])
             assert callable(fn), p
+        # dataset kwargs must match the constructors eval_facerec /
+        # the trainer will call them with (file IO aside) — a config
+        # shipping an unknown or missing kwarg is broken even if the
+        # data dirs only exist on the user's machine
+        import inspect
+
+        from fairdiff.facerec import datasets as ds_lib
+
+        for section in ("train", "val"):
+            entries = cfg.get("data", {}).get(section, [])
+            if isinstance(entries, dict):
+                entries = [entries]
+            for entry in entries:
+                ds_cfg = dict(entry["dataset"])
+                kind = ds_cfg.pop("type")
+                ds_cfg.pop("name", None)
+                sig = inspect.signature(getattr(ds_lib, kind))
+                sig.bind_partial(**ds_cfg)  # raises on unknown kwargs
+                required = {
+                    n for n, prm in sig.parameters.items()
+                    if prm.default is inspect.Parameter.empty
+                    and prm.kind is not inspect.Parameter.VAR_KEYWORD
+                }
+                missing = required - set(ds_cfg)
+                assert not missing, (p, kind, missing)
 
 
 def test_create_facerec_list(tmp_path):

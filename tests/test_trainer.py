@@ -355,6 +355,25 @@ def test_evaluate_artifacts_and_per_prompt_metrics(tmp_path):
     )
     assert (tmp_path / "eval_ema_40_prompt0_generated.jpg").exists()
     assert not (tmp_path / "eval_ema_40_prompt0_ori.jpg").exists()
+    # a later eval step reuses the cached frozen-baseline grid (the ori
+    # images depend only on (eval root, prompt)) — file appears without
+    # another generation pass, byte-identical to step 40's
+    ev2 = trainer.evaluate(
+        state.adapters, [prompt_ids], jax.random.key(3),
+        name="main", step=80, prompt_texts=["a photo of a doctor"],
+        grids_dir=str(tmp_path),
+    )
+    ori40 = tmp_path / f"eval_main_40_{label}_ori.jpg"
+    ori80 = tmp_path / f"eval_main_80_{label}_ori.jpg"
+    assert ori80.exists() and ori80.read_bytes() == ori40.read_bytes()
+    # sanitization collisions must not overwrite per-prompt keys: two
+    # prompts differing only by space-vs-slash map to distinct labels
+    ev3 = trainer.evaluate(
+        state.adapters, [prompt_ids, prompt_ids], jax.random.key(3),
+        name="main", step=120,
+        prompt_texts=["a b", "a/b"],
+    )
+    assert "gender_gap_a_b" in ev3 and "gender_gap_a_b_p1" in ev3
 
 
 def test_plot_in_grid_multi(tmp_path):
