@@ -226,6 +226,10 @@ def main():
     print(json.dumps(result))
     if "--verbose" in sys.argv:
         phases = {k: round(v, 2) for k, v in trainer.timers.summary().items()}
+        # face_rate at random detector init measures 1.0 (every lane
+        # "detected"): the COSTLIEST case for the host OT / realism-search
+        # / masked-loss branches, so the chip·s number is conservative —
+        # production sparsity (~0.9) can only shrink the host-side work
         print(
             f"# warmup(+compile) {compile_step:.1f}s, steady {step_time:.2f}s/step "
             f"on {n_chips} chip(s); loss={logs.get('train_loss')}; "

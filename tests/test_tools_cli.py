@@ -207,3 +207,59 @@ def test_cli_parse_both_config_flavors(tmp_path):
 
     assert cli_parse(FaceRecCLIConfig, ["--config", "x.yml"]).config == "x.yml"
     assert cli_parse(EvalFaceRecCLIConfig, ["--batch_size", "8"]).batch_size == 8
+
+
+def test_full_workflow_train_export_generate_eval(tmp_path):
+    """The reference's user workflow end-to-end in one chain
+    (exp-1 README steps: train -> export checkpoint -> gen-images with
+    the exported adapters -> eval-generated-images): each stage consumes
+    the previous stage's on-disk artifacts, nothing passed in memory."""
+    import yaml
+
+    from fairdiff.tools.train_debias import TrainCLIConfig, main as train_main
+    from fairdiff.utils.config import cli_parse
+
+    # stage 1: train (tiny 4-phase run, auto-exports adapters)
+    base = yaml.safe_load(
+        open("fairdiff/configs/exp1_tiny_cpu.yaml")
+    )
+    base["output_dir"] = str(tmp_path / "train")
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    train_main(cli_parse(TrainCLIConfig, ["--config", str(cfg_path)]))
+    te_npz = tmp_path / "train" / "exported" / "te_lora_EMA.npz"
+    assert te_npz.exists()
+
+    # stage 2: generate with the exported adapters (and a baseline
+    # without them: the trained LoRA must actually change the images)
+    from fairdiff.tools.gen_images import GenImagesConfig, main as gen_main
+
+    gen_kwargs = dict(
+        tiny_smoke=True, num_imgs_per_prompt=2, batch_size=2,
+        num_denoising_steps=2,
+    )
+    gen_main(GenImagesConfig(
+        save_dir=str(tmp_path / "imgs_base"), **gen_kwargs,
+    ))
+    gen_main(GenImagesConfig(
+        save_dir=str(tmp_path / "imgs"),
+        load_text_encoder_lora_from=str(te_npz), **gen_kwargs,
+    ))
+    imgs = sorted((tmp_path / "imgs").rglob("*.jpg"))
+    base_imgs = sorted((tmp_path / "imgs_base").rglob("*.jpg"))
+    assert len(imgs) == 2
+    assert any(
+        a.read_bytes() != b.read_bytes() for a, b in zip(imgs, base_imgs)
+    ), "exported adapters had no effect on generation"
+
+    # stage 3: offline bias eval over the generated folder
+    from fairdiff.tools.eval_images import EvalImagesConfig, main as eval_main
+
+    res = eval_main(EvalImagesConfig(
+        synthetic_smoke=True,
+        generated_imgs_dir=str(tmp_path / "imgs"),
+        save_dir=str(tmp_path / "eval"),
+        batch_size=2,
+    ))
+    assert (tmp_path / "eval" / "summary.pkl").exists()
+    assert isinstance(res, dict) and res
