@@ -73,8 +73,16 @@ class FaceRecTrainer:
         head_w = margin_heads.normalize_head_weight(head_w)
         params = {"backbone": backbone_params, "head_w": head_w}
         if cfg.head == "sphereface2":
+            # the bias init formula must use the SAME hyperparameters the
+            # loss runs with (opensphere passes its cfg to both)
+            init_keys = ("magn_type", "alpha", "r", "m", "t")
+            init_kwargs = {
+                k: v for k, v in self.head_kwargs.items() if k in init_keys
+            }
             params["head_b"] = jnp.float32(
-                margin_heads.sphereface2_bias_init(cfg.num_classes)
+                margin_heads.sphereface2_bias_init(
+                    cfg.num_classes, **init_kwargs
+                )
             )
         return {"params": params, "opt": self.tx.init(params), "step": 0}
 
@@ -130,7 +138,12 @@ class FaceRecTrainer:
         logger: Callable[[int, dict], None] = lambda s, l: None,
         val_fn: Optional[Callable[[dict], dict]] = None,
         checkpoint_cb: Optional[Callable[[dict], None]] = None,
+        save_interval: int = 1,
     ) -> dict:
+        """save_interval gates checkpoint_cb like val_interval gates
+        val_fn (opensphere saves only at cfg save_iters,
+        opensphere/runner.py:191) — a state-saving callback must not run
+        every iteration."""
         max_iters = max_iters or self.cfg.max_iters
         while state["step"] < max_iters:
             images, labels = next(batches)
@@ -141,7 +154,7 @@ class FaceRecTrainer:
                 logger(state["step"], {"loss": loss})
             if val_fn and state["step"] % self.cfg.val_interval == 0:
                 logger(state["step"], val_fn(state))
-            if checkpoint_cb:
+            if checkpoint_cb and state["step"] % max(save_interval, 1) == 0:
                 checkpoint_cb(state)
         return state
 

@@ -137,7 +137,11 @@ def sampled_ot_targets_3attr(
     probs_gender = np.asarray(probs_gender)
     probs_race = np.asarray(probs_race)
     probs_age = np.asarray(probs_age)
-    valid = (probs_gender != -1).all(axis=-1) & (probs_race != -1).all(axis=-1)
+    valid = (
+        (probs_gender != -1).all(axis=-1)
+        & (probs_race != -1).all(axis=-1)
+        & (probs_age != -1).all(axis=-1)
+    )
     if valid.sum() == 0:
         n = probs_gender.shape[0]
         empty = Targets(np.full(n, -1, np.int64), np.full(n, -1.0))

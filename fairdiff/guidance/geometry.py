@@ -166,7 +166,6 @@ def estimate_similarity(src: jax.Array, dst: jax.Array) -> jax.Array:
     cov = dc.T @ sc / src.shape[0]  # [2,2]
     u, s, vt = jnp.linalg.svd(cov)
     d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
-    dd = jnp.array([1.0, 0.0])  # diag correction selector
     diag = jnp.stack([1.0, d])
     r = (u * diag[None, :]) @ vt
     var_s = (sc**2).sum() / src.shape[0]

@@ -127,7 +127,16 @@ def _tensor(buf: bytes) -> tuple[str, np.ndarray]:
     elif float_data:
         arr = np.asarray(float_data, dtype=dtype).reshape(dims)
     elif int_data:
-        arr = np.asarray(int_data, dtype=dtype).reshape(dims)
+        if dtype == np.float16:
+            # spec: fp16 values without raw_data live in int32_data as
+            # uint16 BIT PATTERNS (1.0 -> 15360), not numeric values
+            arr = (
+                np.asarray(int_data, np.uint16)
+                .view(np.float16)
+                .reshape(dims)
+            )
+        else:
+            arr = np.asarray(int_data, dtype=dtype).reshape(dims)
     elif int(np.prod(dims)) == 0:
         arr = np.zeros(dims, dtype=dtype)
     else:
@@ -649,6 +658,10 @@ def load_scrfd(
     cfg = DetectorConfig(
         strides=strides, num_anchors=num_anchors,
         score_threshold=score_threshold,
+        # det_10g-style graphs end score heads with a Sigmoid node:
+        # outputs are probabilities already (insightface thresholds them
+        # directly), so the decode must not sigmoid a second time
+        scores_are_logits=False,
     )
     in_name = graph.inputs[0]
     H, W = input_size

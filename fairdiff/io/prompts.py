@@ -45,8 +45,6 @@ def load_multi_domain_prompts(paths: list[str | Path], repeats: list[int]) -> di
     (x1/x6/x20/x4 at exp-5:947)."""
     train, val, test = [], [], []
     for path, rep in zip(paths, repeats):
-        with open(path) as f:
-            d = json.load(f)
         dd = load_occupation_prompts(path)
         train += list(dd.get("train_prompts", [])) * rep
         val += list(dd.get("val_prompts", []))

@@ -41,6 +41,10 @@ class DetectorConfig:
     width: int = 32  # backbone stem width
     head_width: int = 64
     score_threshold: float = 0.5
+    # FaceDetectorNet emits raw logits; the reference's SCRFD ONNX graphs
+    # end score heads with a Sigmoid node (insightface compares them to
+    # det_thresh directly), so the ONNX path must NOT sigmoid again
+    scores_are_logits: bool = True
 
     @classmethod
     def tiny(cls) -> "DetectorConfig":
@@ -124,6 +128,7 @@ def _decode_level(
     bbox: jax.Array,  # [N, h, w, 4A]
     kps: jax.Array,  # [N, h, w, 10A]
     stride: int,
+    scores_are_logits: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """SCRFD distance decode: centers at stride-spaced grid points; box and
     landmark regressions are distances in stride units."""
@@ -146,7 +151,10 @@ def _decode_level(
     kps_abs = jnp.stack(
         [kps[..., 0] + cx[..., None], kps[..., 1] + cy[..., None]], axis=-1
     ).reshape(n, -1, 5, 2)
-    scores = jax.nn.sigmoid(score.astype(jnp.float32)).reshape(n, -1)
+    scores = score.astype(jnp.float32)
+    if scores_are_logits:
+        scores = jax.nn.sigmoid(scores)
+    scores = scores.reshape(n, -1)
     return scores, boxes, kps_abs
 
 
@@ -158,7 +166,9 @@ def decode_detections(
     for score, bbox, kps, stride in zip(
         raw["score"], raw["bbox"], raw["kps"], config.strides
     ):
-        s, b, k = _decode_level(score, bbox, kps, stride)
+        s, b, k = _decode_level(
+            score, bbox, kps, stride, config.scores_are_logits
+        )
         all_s.append(s)
         all_b.append(b)
         all_k.append(k)

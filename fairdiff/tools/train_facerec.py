@@ -131,8 +131,7 @@ def main(cli: FaceRecCLIConfig):
         return dict(val_ds.evaluate(feats))
 
     def checkpoint_cb(st):
-        if st["step"] % cli.save_every == 0:
-            save_adapters(out / f"backbone_{st['step']}.npz", st["params"]["backbone"])
+        save_adapters(out / f"backbone_{st['step']}.npz", st["params"]["backbone"])
 
     state = trainer.fit(
         state,
@@ -141,6 +140,7 @@ def main(cli: FaceRecCLIConfig):
         logger=logger,
         val_fn=val_fn if val_ds is not None else None,
         checkpoint_cb=checkpoint_cb,
+        save_interval=cli.save_every,
     )
     save_adapters(out / "backbone_final.npz", state["params"]["backbone"])
     print(json.dumps({"final_step": state["step"]}))

@@ -32,6 +32,11 @@ def _coerce(value: Any, annot: Any) -> Any:
         return _coerce(value, args[0])
     if origin in (list, tuple):
         (item_t,) = typing.get_args(annot)[:1] or (str,)
+        if isinstance(value, str):
+            # CLI overrides arrive as one string: "0.2,0.3" -> items.
+            # Never iterate a string char-by-char (a scalar "gender"
+            # would silently become ('g','e','n',...))
+            value = [v for v in (p.strip() for p in value.split(",")) if v]
         seq = [_coerce(v, item_t) for v in value]
         return tuple(seq) if origin is tuple else seq
     if annot is bool:
@@ -50,7 +55,7 @@ def from_dict(cls: Type[T], data: dict[str, Any]) -> T:
     unknown = set(data) - set(fields)
     if unknown:
         raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
-    kwargs = {k: _coerce(v, fields[k].type_resolved if hasattr(fields[k], "type_resolved") else _resolve(cls, fields[k])) for k, v in data.items()}
+    kwargs = {k: _coerce(v, _resolve(cls, fields[k])) for k, v in data.items()}
     return cls(**kwargs)
 
 

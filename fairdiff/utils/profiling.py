@@ -32,20 +32,26 @@ def trace_to(log_dir: str | Path):
 
 
 class PhaseTimers:
-    """Wall-clock accumulation per named phase (device-synchronised)."""
+    """Wall-clock accumulation per named phase.
+
+    JAX dispatch is async: a block that only launches work times in
+    microseconds. To attribute device time to a phase, the timed block
+    itself must force a host-visible result (np.asarray of an output,
+    jax.block_until_ready, a scalar fetch) — exactly what the trainer's
+    phase blocks do at their drain points. On the remote-tunnel backend
+    block_until_ready is dispatch-only, so prefer a value fetch.
+    """
 
     def __init__(self):
         self.totals: dict[str, float] = collections.defaultdict(float)
         self.counts: dict[str, int] = collections.defaultdict(int)
 
     @contextlib.contextmanager
-    def __call__(self, name: str, sync: object = None):
+    def __call__(self, name: str):
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

@@ -200,7 +200,14 @@ def _scrfd_like_model(input_hw=(32, 32), num_anchors=2):
             nodes.append(node("Conv", [feat, wname], [raw]))
             nodes.append(node("Transpose", [raw], [tr], attr_ints("perm", [0, 2, 3, 1])))
             inits[f"shape_{key}{stride}"] = np.asarray([0, -1, ch], np.int64)
-            nodes.append(node("Reshape", [tr, f"shape_{key}{stride}"], [name]))
+            if key == "score":
+                # det_10g score heads end with Sigmoid: graph outputs are
+                # probabilities, as insightface consumes them
+                rs = f"{key}{stride}_rs"
+                nodes.append(node("Reshape", [tr, f"shape_{key}{stride}"], [rs]))
+                nodes.append(node("Sigmoid", [rs], [name]))
+            else:
+                nodes.append(node("Reshape", [tr, f"shape_{key}{stride}"], [name]))
             outputs[key].append(name)
     out_names = outputs["score"] + outputs["bbox"] + outputs["kps"]
     return model(nodes, inits, ["x"], out_names)
@@ -219,6 +226,31 @@ def test_load_scrfd_end_to_end(tmp_path):
     assert det.landmarks.shape == (3, 5, 2)
     # decoded coords are in the ORIGINAL image frame
     assert float(jnp.abs(det.bboxes).max()) <= 64 * 3  # sane scale
+    # NO double sigmoid: the graph's score outputs are already
+    # probabilities (Sigmoid head like det_10g), so the decoded anchor
+    # scores must equal them EXACTLY — a second sigmoid would pin every
+    # score into [0.5, 0.73] and defeat thresholding
+    from fairdiff.io.onnx_bridge import scrfd_raw_heads
+    from fairdiff.models.face_detector import (
+        DetectorConfig, decode_detections,
+    )
+
+    graph = parse_onnx(path.read_bytes())
+    fn, p2 = build_onnx_fn(graph)
+    x = jax.image.resize(images, (3, 32, 32, 3), "bilinear")
+    x = (x[..., ::-1] * (127.5 / 128.0)).transpose(0, 3, 1, 2)
+    outs = fn(p2, {graph.inputs[0]: x})
+    raw = scrfd_raw_heads(outs, graph, (32, 32), (8, 16, 32), 2)
+    dec_scores, _, _ = decode_detections(
+        raw, DetectorConfig(scores_are_logits=False)
+    )
+    graph_scores = np.concatenate(
+        [np.asarray(outs[n]).reshape(3, -1) for n in graph.outputs[:3]],
+        axis=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_scores), graph_scores, rtol=1e-6, atol=1e-7
+    )
 
 # -------- spec-default regressions (Gemm/AveragePool/Softmax/dtype) --------
 
@@ -442,3 +474,18 @@ def test_tensor_double_data_and_external_data():
     ext += tag(14, 0) + vint(1)        # data_location = EXTERNAL
     with pytest.raises(NotImplementedError, match="ext_w.*external"):
         _tensor(ext)
+
+
+def test_tensor_fp16_int32_data_bit_pattern():
+    """fp16 without raw_data lives in int32_data as uint16 BIT PATTERNS
+    (1.0 -> 15360), not numeric values."""
+    from fairdiff.io.onnx_bridge import _tensor
+
+    bits = np.asarray([1.0, -2.5, 0.0], np.float16).view(np.uint16)
+    buf = tag(1, 0) + vint(3)
+    buf += tag(2, 0) + vint(10)  # FLOAT16
+    buf += sfield(8, "h")
+    buf += lfield(5, b"".join(vint(int(b)) for b in bits))  # int32_data
+    name, arr = _tensor(buf)
+    assert arr.dtype == np.float16
+    np.testing.assert_array_equal(arr, np.asarray([1.0, -2.5, 0.0], np.float16))

@@ -263,3 +263,26 @@ def test_full_workflow_train_export_generate_eval(tmp_path):
     ))
     assert (tmp_path / "eval" / "summary.pkl").exists()
     assert isinstance(res, dict) and res
+
+
+def test_config_coerce_strings_to_sequences():
+    """CLI/YAML scalar strings coerce to typed sequences by comma-split —
+    never by char iteration ('gender' must not become ('g','e',...))."""
+    import dataclasses
+
+    from fairdiff.utils.config import from_dict
+
+    @dataclasses.dataclass(frozen=True)
+    class C:
+        attrs: tuple[str, ...] = ("gender",)
+        steps: tuple[int, ...] = ()
+        facs: tuple[float, ...] = ()
+
+    got = from_dict(C, {
+        "attrs": "gender", "steps": "40000, 60000", "facs": "0.2,0.3",
+    })
+    assert got.attrs == ("gender",)
+    assert got.steps == (40000, 60000)
+    assert got.facs == (0.2, 0.3)
+    # real lists untouched
+    assert from_dict(C, {"attrs": ["gender", "race"]}).attrs == ("gender", "race")

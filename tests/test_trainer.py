@@ -394,3 +394,54 @@ def test_plot_in_grid_multi(tmp_path):
         face_indicators=ind, face_bboxes=bboxes,
     )
     assert p.exists() and p.stat().st_size > 0
+
+
+@pytest.mark.parametrize(
+    "preset_name, expected_metrics",
+    [
+        ("exp3", ("gender_gap", "race_gap")),
+        ("exp4", ("gender_gap", "race_gap", "age_gap")),
+        ("exp6", ("race_gap",)),
+    ],
+)
+def test_multi_attr_full_step(preset_name, expected_metrics):
+    """One FULL 4-phase train_step per multi-attribute experiment preset
+    (exp-3 ot2, exp-4 ot3 asym-age, exp-6 enumerated multinomial) on the
+    synthetic stack: the joint-OT target path, multi-attr dynamic
+    weights, and joint metrics all execute — not just the target
+    generators in isolation."""
+    from fairdiff.training import presets
+    from fairdiff.training.synthetic import synthetic_stack
+
+    sd = StableDiffusion(SDConfig.tiny())
+    params = sd.init_params(jax.random.key(0))
+    cfg = getattr(presets, preset_name)(
+        lora_rank=2,
+        train_images_per_prompt=4,
+        train_micro_batch=2,
+        steps_low=2,
+        steps_high=2,
+        ot_num_samples=16,
+        max_train_steps=1,
+    )
+    trainer = DebiasTrainer(
+        sd, params, synthetic_stack(cfg.attributes), cfg
+    )
+    cond = jnp.array([[0, 5, 6, 63]], jnp.int32)
+    uncond = jnp.array([[0, 63, 1, 1]], jnp.int32)
+    state = trainer.init_state(jax.random.key(1))
+    state2, logs = trainer.train_step(
+        state, (cond, uncond), jax.random.key(42)
+    )
+    assert state2.step == 1
+    assert np.isfinite(logs["train_loss"]), logs
+    for key in expected_metrics:
+        assert key in logs, (preset_name, sorted(logs))
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state2.adapters["te_lora"]),
+            jax.tree_util.tree_leaves(state.adapters["te_lora"]),
+        )
+    )
+    assert moved, f"{preset_name}: adapters did not move"
