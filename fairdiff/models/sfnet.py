@@ -62,6 +62,17 @@ class SFNetConfig:
     def tiny(cls):
         return cls(layers=(0, 0, 0, 0), channels=(8, 8, 16, 16), out_channel=32, in_size=32)
 
+    @classmethod
+    def for_variant(cls, name: str) -> "SFNetConfig":
+        """'sfnet20' / 'sfnet20_deprecated' / ... -> config. The variant
+        changes only the residual/ReLU ordering — weight trees are
+        shape-identical, so building the WRONG variant for a converted
+        checkpoint fails silently; always resolve through this."""
+        base = getattr(cls, name.replace("_deprecated", ""))()
+        if name.endswith("_deprecated"):
+            base = dataclasses.replace(base, pre_act_residual=True)
+        return base
+
 
 class _ConvBlock(nn.Module):
     planes: int

@@ -139,7 +139,9 @@ def _pallas_enabled() -> bool:
     env = os.environ.get("FAIRDIFF_FUSED_GN")
     if env is not None:
         return env != "0"
-    return jax.default_backend() != "cpu"
+    # the kernel uses pltpu.VMEM block specs — Mosaic-on-TPU only (a GPU
+    # backend would trace then fail to lower); match flash-attention's gate
+    return jax.default_backend() == "tpu"
 
 
 def _gn_forward(x, scale, bias, groups, eps, apply_silu):

@@ -99,13 +99,13 @@ def main(cfg: GuidanceConvertConfig) -> Path:
     if cfg.sfnet_pth:
         from fairdiff.models.sfnet import SFNetConfig, convert_sfnet
 
-        variant = getattr(SFNetConfig, cfg.sfnet_variant.replace("_deprecated", ""))
-        sfcfg = variant()
-        if cfg.sfnet_variant.endswith("_deprecated"):
-            sfcfg = dataclasses.replace(sfcfg, pre_act_residual=True)
+        sfcfg = SFNetConfig.for_variant(cfg.sfnet_variant)
         save_adapters(
             out / "face_embedder.npz", convert_sfnet(_torch_sd(cfg.sfnet_pth), sfcfg)
         )
+        # record the variant: the weight tree is shape-identical across
+        # variants, so the loader cannot infer the residual ordering
+        (out / "face_embedder_variant.txt").write_text(cfg.sfnet_variant)
         done.append("face_embedder")
 
     if cfg.face_feats_pkl:

@@ -119,11 +119,15 @@ def main(cfg: EvalImagesConfig) -> dict:
         bboxes = np.concatenate(bboxes)
         logits = {k: np.concatenate(v) for k, v in logits.items()}
 
+        def _softmax(v):
+            # max-subtracted: a confident classifier logit >= ~88 would
+            # overflow plain np.exp to NaN probs that pass the -1 filter
+            e = np.exp(v - v.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
         probs = {
             k: np.where(
-                (v != -1).all(-1, keepdims=True),
-                np.exp(v) / np.exp(v).sum(-1, keepdims=True),
-                -1.0,
+                (v != -1).all(-1, keepdims=True), _softmax(v), -1.0
             )
             for k, v in logits.items()
         }
@@ -149,14 +153,17 @@ def main(cfg: EvalImagesConfig) -> dict:
                 face_bboxes=bboxes,
             )
         else:
-            g = probs.get("gender")
-            plot_in_grid(
-                imgs,
-                save_root / f"{prompt_dir.name}_grid.jpg",
-                face_indicators=inds,
-                preds=preds.get("gender", np.zeros(len(imgs), int)),
-                probs_max=(g.max(-1) if g is not None else None),
-            )
+            # annotate whichever single attribute was evaluated — never
+            # fabricate gender labels when only race/age ran
+            (attr_name,) = list(preds) or [""]
+            if attr_name:
+                plot_in_grid(
+                    imgs,
+                    save_root / f"{prompt_dir.name}_grid.jpg",
+                    face_indicators=inds,
+                    preds=preds[attr_name],
+                    probs_max=probs[attr_name].max(-1),
+                )
         with open(save_root / f"{prompt_dir.name}_test_results.pkl", "wb") as f:
             pickle.dump(
                 [

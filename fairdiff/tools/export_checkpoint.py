@@ -17,6 +17,7 @@ import dataclasses
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 
 from fairdiff.io.adapters_io import save_adapters
 from fairdiff.utils import config as cfglib
@@ -43,12 +44,18 @@ def main(cfg: ExportConfig) -> Path:
     from fairdiff.tools.train_debias import TrainCLIConfig, build_trainer
     from fairdiff.training.checkpoints import DualCadenceCheckpointer
 
+    # shapes only: never materialize the multi-GB frozen SD tree just to
+    # derive the adapter template the restore needs
     _, trainer, _ = build_trainer(
         TrainCLIConfig(
             experiment=cfg.experiment, tiny_smoke=cfg.tiny_smoke, seed=cfg.seed
-        )
+        ),
+        abstract_params=True,
     )
-    template = trainer.init_state(jax.random.key(cfg.seed))
+    template = jax.eval_shape(trainer.init_state, jax.random.key(cfg.seed))
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template
+    )
     ckpt = DualCadenceCheckpointer(cfg.checkpoint_dir)
     step = None if cfg.step < 0 else cfg.step
     state = ckpt.restore(template, step)

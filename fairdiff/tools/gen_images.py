@@ -154,9 +154,16 @@ def main(cfg: GenImagesConfig) -> list[Path]:
             ids = prepend_prefix_ids(
                 ids, cfg.num_prefix_tokens, sd_cfg.text.vocab_size, max_len
             )
-            tok_c = dataclasses.replace(
-                tok_c, input_ids=np.asarray(ids)
-            ) if dataclasses.is_dataclass(tok_c) else tok_c
+            if not dataclasses.is_dataclass(tok_c):
+                # never fall through silently: a tokenizer returning a
+                # non-dataclass here would drop the prefix ids and
+                # generate with the UNPREFIXED prompt while claiming to
+                # use the loaded prefix table
+                raise TypeError(
+                    f"tokenizer returned {type(tok_c).__name__}; prefix "
+                    "injection requires the Tokenized dataclass"
+                )
+            tok_c = dataclasses.replace(tok_c, input_ids=np.asarray(ids))
 
         t0 = time.time()
         for start in range(0, len(todo), cfg.batch_size):

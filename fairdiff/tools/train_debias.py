@@ -68,7 +68,11 @@ class TrainCLIConfig:
     profile_steps: int = 0
 
 
-def build_trainer(cfg: TrainCLIConfig):
+def build_trainer(cfg: TrainCLIConfig, *, abstract_params: bool = False):
+    """abstract_params=True builds the frozen tree as ShapeDtypeStructs
+    (jax.eval_shape) — for callers that only need parameter SHAPES (e.g.
+    export_checkpoint's restore template), skipping minutes of full
+    SD-1.5 random init whose values would be discarded."""
     preset = PRESETS[cfg.experiment]
     overrides = {"seed": cfg.seed, "output_dir": cfg.output_dir}
     for field in (
@@ -84,7 +88,11 @@ def build_trainer(cfg: TrainCLIConfig):
 
     if cfg.tiny_smoke:
         sd = StableDiffusion(SDConfig.tiny())
-        params = sd.init_params(jax.random.key(cfg.seed))
+        params = (
+            jax.eval_shape(sd.init_params, jax.random.key(cfg.seed))
+            if abstract_params
+            else sd.init_params(jax.random.key(cfg.seed))
+        )
         guidance = synthetic_stack(dcfg.attributes)
         dcfg = dataclasses.replace(
             dcfg, steps_low=2, steps_high=2, eval_denoising_steps=2,
@@ -93,7 +101,9 @@ def build_trainer(cfg: TrainCLIConfig):
         )
     else:
         sd = StableDiffusion(SDConfig.sd15(), remat=True)
-        if cfg.model_dir:
+        if abstract_params:
+            params = jax.eval_shape(sd.init_params, jax.random.key(cfg.seed))
+        elif cfg.model_dir:
             from fairdiff.io.checkpoints import load_sd_params
 
             params = load_sd_params(cfg.model_dir)
@@ -112,7 +122,7 @@ def build_trainer(cfg: TrainCLIConfig):
     return sd, trainer, dcfg
 
 
-def tokenize_prompts(sd, tokenizer, prompts: list[str], tiny: bool):
+def tokenize_prompts(sd, tokenizer, prompts: list[str]):
     max_len = min(tokenizer.model_max_length, sd.config.text.max_position_embeddings)
     out = []
     for p in prompts:
@@ -151,8 +161,8 @@ def main(cfg: TrainCLIConfig):
         ]
         val_prompts = train_prompts[:1]
 
-    train_ids = tokenize_prompts(sd, tokenizer, train_prompts, cfg.tiny_smoke)
-    val_ids = tokenize_prompts(sd, tokenizer, val_prompts, cfg.tiny_smoke)
+    train_ids = tokenize_prompts(sd, tokenizer, train_prompts)
+    val_ids = tokenize_prompts(sd, tokenizer, val_prompts)
 
     logger = MetricsLogger(cfg.output_dir, use_wandb=cfg.use_wandb,
                            run_name=cfg.experiment,

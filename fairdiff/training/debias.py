@@ -951,7 +951,11 @@ class DebiasTrainer:
                 {f"time_{k}_s": v for k, v in self.timers.summary().items()}
             )
             self.logger(state.step, logs)
-            if val_prompt_ids and state.step % cfg.eval_interval == 0:
+            if (
+                val_prompt_ids
+                and cfg.eval_interval > 0  # 0 disables eval entirely
+                and state.step % cfg.eval_interval == 0
+            ):
                 import os as _os
 
                 grids_dir = (

@@ -121,7 +121,16 @@ def load_guidance_stack(
             return e / jnp.linalg.norm(e, axis=-1, keepdims=True).clip(1e-6)
 
     if (d / "face_embedder.npz").exists():
-        sfnet = SFNet(SFNetConfig.sfnet20(), dtype=dtype)
+        # the residual ordering (sfnet20 vs sfnet20_deprecated) is not
+        # inferable from the weight tree — read the variant the converter
+        # recorded; the reference's shipped opensphere checkpoints are the
+        # deprecated (pre-act) family (exp-1:970-989), hence the default
+        vfile = d / "face_embedder_variant.txt"
+        variant = (
+            vfile.read_text().strip() if vfile.exists()
+            else "sfnet20_deprecated"
+        )
+        sfnet = SFNet(SFNetConfig.for_variant(variant), dtype=dtype)
         params["face_embed"] = cast_floats(load_adapters(d / "face_embedder.npz"), dtype)
         face_fn = lambda p, chips: sfnet.apply({"params": p}, chips)
 

@@ -286,3 +286,52 @@ def test_config_coerce_strings_to_sequences():
     assert got.facs == (0.2, 0.3)
     # real lists untouched
     assert from_dict(C, {"attrs": ["gender", "race"]}).attrs == ("gender", "race")
+
+
+def test_guidance_zoo_sfnet_variant_roundtrip(tmp_path):
+    """The converter records the SFNet variant and the loader rebuilds
+    the SAME residual ordering: the weight trees are shape-identical
+    across sfnet20 / sfnet20_deprecated, so a mismatch is silent — only
+    a behavioral check catches it (reference checkpoints are the
+    deprecated pre-act family, exp-1:970-989)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from fairdiff.io.adapters_io import save_adapters
+    from fairdiff.models.sfnet import SFNet, SFNetConfig
+    from fairdiff.training.model_zoo import load_guidance_stack
+
+    cfg_dep = SFNetConfig.for_variant("sfnet20_deprecated")
+    assert cfg_dep.pre_act_residual is True
+    assert SFNetConfig.for_variant("sfnet20").pre_act_residual is False
+
+    net_dep = SFNet(cfg_dep, dtype=jnp.bfloat16)
+    params = net_dep.init(
+        jax.random.key(0), jnp.zeros((1, 112, 112, 3))
+    )["params"]
+
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    save_adapters(zoo / "face_embedder.npz", params)
+    (zoo / "face_embedder_variant.txt").write_text("sfnet20_deprecated")
+    # minimal mandatory files (contents unused by this test's call path)
+    save_adapters(zoo / "detector.npz", {"w": np.zeros((1,), np.float32)})
+    save_adapters(zoo / "classifier.npz", {"w": np.zeros((1,), np.float32)})
+
+    stack = load_guidance_stack(zoo, ("gender",))
+    chips = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (2, 112, 112, 3)), jnp.float32
+    )
+    got = stack.face_embed_fn(stack.params["face_embed"], chips)
+    bf16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    want = net_dep.apply({"params": bf16}, chips)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+    # the non-deprecated ordering gives DIFFERENT embeddings on the same
+    # weights — proving the variant file actually matters
+    other = SFNet(SFNetConfig.for_variant("sfnet20"), dtype=jnp.bfloat16)
+    alt = other.apply({"params": bf16}, chips)
+    assert float(jnp.abs(got.astype(jnp.float32) - alt.astype(jnp.float32)).max()) > 1e-3
