@@ -33,6 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def bf16_tree(t):
+    """Cast f32 leaves to bf16 (the reference's fp16 inference cast)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+    )
+
 # reruns reuse compiled programs (first full compile is ~13 min)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
@@ -49,7 +57,6 @@ def build(quick: bool):
     from fairdiff.models.mobilenet_v3 import MobileNetV3Large
     from fairdiff.models.sfnet import SFNet, SFNetConfig
     from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
-    from fairdiff.training.debias import DebiasConfig, DebiasTrainer
     from fairdiff.training.stack import (
         GuidanceStack, normalize_for_clip, normalize_for_dino,
     )
@@ -73,10 +80,7 @@ def build(quick: bool):
     sd = StableDiffusion(SDConfig.sd15(), remat=False)
     # frozen weights in bf16 (the reference's fp16 inference cast,
     # exp-1:722-794): halves HBM-resident arguments; LoRA stays f32
-    bf16 = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
-    )
+    bf16 = bf16_tree
     params = bf16(sd.init_params(key))
 
     det_cfg = DetectorConfig()
@@ -148,11 +152,7 @@ def bench_generation():
     from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
 
     sd = StableDiffusion(SDConfig.sd15())
-    bf16 = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
-    )
-    params = bf16(sd.init_params(jax.random.key(0)))
+    params = bf16_tree(sd.init_params(jax.random.key(0)))
     N = 10
     noises = jax.random.normal(jax.random.key(1), sd.latent_shape(N))
     v = sd.config.text.vocab_size
@@ -189,9 +189,18 @@ def main():
     sd, params, guidance, cfg = build(quick)
     trainer = DebiasTrainer(sd, params, guidance, cfg)
     state = trainer.init_state(jax.random.key(1))
+    # full-length padded prompts, exactly like tokenize_prompts pads to
+    # max_length in production (S=77 for SD-1.5): the text encoder and
+    # every UNet cross-attention must run at the production KV length —
+    # short ids would understate the benched program
     v = sd.config.text.vocab_size
-    cond = jnp.array([[min(0, v - 1), 5 % v, 6 % v, v - 1]], jnp.int32)
-    uncond = jnp.array([[0, v - 1, 1, 1]], jnp.int32)
+    S = sd.config.text.max_position_embeddings
+    bos, eos = 0, v - 1  # id VALUES don't change cost; eos position does
+    words = [(5 + i) % (v - 1) or 1 for i in range(min(5, S - 2))]
+    cond = jnp.asarray(
+        [[bos, *words, eos] + [eos] * (S - 2 - len(words))], jnp.int32
+    )
+    uncond = jnp.asarray([[bos, eos] + [eos] * (S - 2)], jnp.int32)
     root = jax.random.key(42)
 
     t0 = time.time()
@@ -214,7 +223,9 @@ def main():
             state, _ = trainer.train_step(state, (cond, uncond), root)
         print("# trace -> /tmp/bench_trace", file=sys.stderr)
 
-    n_chips = jax.device_count()
+    # the trainer is built WITHOUT a mesh: the jitted step runs on one
+    # device regardless of how many are visible — bill exactly that one
+    n_chips = 1
     chip_seconds = step_time * n_chips
     baseline_chip_seconds = 44.0  # 22 s/step x 2 A100 (BASELINE.md)
     result = {

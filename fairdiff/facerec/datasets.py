@@ -122,6 +122,17 @@ class ClassDataset:
                     yield imgs, self.labels[idx]
                 else:
                     imgs, labels = zip(*(self[i] for i in idx))
+                    if image_size is not None:
+                        # parity with the native path: honor the requested
+                        # resolution so on-disk image sizes (possibly
+                        # heterogeneous) never leak into the batch shape
+                        import cv2
+
+                        imgs = [
+                            img if img.shape[0] == img.shape[1] == image_size
+                            else cv2.resize(img, (image_size, image_size))
+                            for img in imgs
+                        ]
                     yield np.stack(imgs), np.asarray(labels)
 
 

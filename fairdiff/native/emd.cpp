@@ -27,8 +27,12 @@ constexpr double kInf = std::numeric_limits<double>::infinity();
 
 // Jonker-Volgenant square assignment on an implicit cost matrix
 // cost(i, j) = cost_nc[i * c + col_of[j]].
-void solve_assignment(const double* cost_nc, const int* col_of, int n, int c,
-                      int* row_to_col) {
+// returns 0 on success, -1 if no augmenting column was found (only
+// possible with non-finite costs, which the Python wrapper rejects —
+// this is the in-depth guard so a bad call can never write out of
+// bounds through j1 == -1)
+int solve_assignment(const double* cost_nc, const int* col_of, int n, int c,
+                     int* row_to_col) {
   std::vector<double> u(n + 1, 0.0), v(n + 1, 0.0);
   std::vector<int> p(n + 1, n);    // p[j] = row matched to column j (n = none)
   std::vector<int> way(n + 1, 0);
@@ -54,6 +58,7 @@ void solve_assignment(const double* cost_nc, const int* col_of, int n, int c,
           j1 = j;
         }
       }
+      if (j1 < 0) return -1;  // non-finite costs: refuse, don't corrupt
       for (int j = 0; j <= n; ++j) {
         if (used[j]) {
           u[p[j]] += delta;
@@ -71,6 +76,7 @@ void solve_assignment(const double* cost_nc, const int* col_of, int n, int c,
     } while (j0 != n);
   }
   for (int j = 0; j < n; ++j) row_to_col[p[j]] = j;
+  return 0;
 }
 
 }  // namespace
@@ -89,7 +95,8 @@ int emd_assignment(const double* cost, const long* b, int n, int c,
     for (long k = 0; k < b[j]; ++k) col_of.push_back(j);
 
   std::vector<int> row_to_col(n);
-  solve_assignment(cost, col_of.data(), n, c, row_to_col.data());
+  if (solve_assignment(cost, col_of.data(), n, c, row_to_col.data()) != 0)
+    return 2;
 
   std::memset(plan, 0, sizeof(double) * n * c);
   for (int i = 0; i < n; ++i) plan[i * c + col_of[row_to_col[i]]] = 1.0;

@@ -45,24 +45,43 @@ def _load() -> Optional[ctypes.CDLL]:
     if not _SO.exists() and not _build():
         _build_failed = True
         return None
-    lib = ctypes.CDLL(str(_SO))
-    lib.emd_assignment.restype = ctypes.c_int
-    lib.emd_assignment.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
-    ]
-    lib.emd_batch.restype = ctypes.c_int
-    lib.emd_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double),
-    ]
+    try:
+        lib = ctypes.CDLL(str(_SO))
+        lib.emd_assignment.restype = ctypes.c_int
+        lib.emd_assignment.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.emd_batch.restype = ctypes.c_int
+        lib.emd_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+    except (OSError, AttributeError):
+        # corrupt / stale / wrong-arch .so: callers fall back to scipy
+        _build_failed = True
+        return None
     _lib = lib
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def _validate(bs: np.ndarray, cost: np.ndarray) -> None:
+    """Reject inputs the C solver would corrupt memory on (the scipy path
+    raises cleanly for all of these): non-finite costs, column-count
+    mismatch, negative masses."""
+    if not np.isfinite(cost).all():
+        raise ValueError("non-finite entries in EMD cost matrix")
+    if bs.shape[-1] != cost.shape[1]:
+        raise ValueError(
+            f"b has {bs.shape[-1]} columns but cost has {cost.shape[1]}"
+        )
+    if (bs < 0).any():
+        raise ValueError("negative mass in b")
 
 
 def emd_assignment_native(b: np.ndarray, cost: np.ndarray) -> Optional[np.ndarray]:
@@ -72,6 +91,7 @@ def emd_assignment_native(b: np.ndarray, cost: np.ndarray) -> Optional[np.ndarra
     cost = np.ascontiguousarray(cost, np.float64)
     b = np.ascontiguousarray(b, np.int64)
     n, c = cost.shape
+    _validate(b.reshape(1, -1), cost)
     plan = np.zeros((n, c), np.float64)
     rc = lib.emd_assignment(
         cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -79,6 +99,8 @@ def emd_assignment_native(b: np.ndarray, cost: np.ndarray) -> Optional[np.ndarra
         n, c,
         plan.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
+    if rc == 2:
+        raise ValueError("non-finite EMD cost matrix")
     if rc != 0:
         raise ValueError(f"mass mismatch: sum(b)={int(b.sum())} != N={n}")
     return plan
@@ -93,6 +115,7 @@ def emd_batch_native(bs: np.ndarray, cost: np.ndarray) -> Optional[np.ndarray]:
     bs = np.ascontiguousarray(bs, np.int64)
     d, c = bs.shape
     n = cost.shape[0]
+    _validate(bs, cost)
     plans = np.zeros((d, n, c), np.float64)
     rc = lib.emd_batch(
         cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -100,6 +123,8 @@ def emd_batch_native(bs: np.ndarray, cost: np.ndarray) -> Optional[np.ndarray]:
         d, n, c,
         plans.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
+    if rc == 2:
+        raise ValueError("non-finite EMD cost matrix")
     if rc != 0:
         raise ValueError("mass mismatch in batch")
     return plans

@@ -110,5 +110,10 @@ def load_batch(
     )
     if failures:
         bad = int(np.flatnonzero(statuses)[0])
+        if statuses[bad] == 2:  # caller-side bug, not a file problem
+            raise ValueError(
+                f"singular affine matrix for {paths[bad]} "
+                "(degenerate landmarks?)"
+            )
         raise OSError(f"{paths[bad]} is not found or not decodable")
     return out

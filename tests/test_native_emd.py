@@ -58,3 +58,21 @@ def test_native_faster_than_scipy_path():
     t_scipy = time.perf_counter() - t0
     # informational bound: native must not be slower than 2x scipy
     assert t_native < 2 * t_scipy, (t_native, t_scipy)
+
+
+@pytest.mark.skipif(not native_available(), reason="g++ unavailable")
+def test_native_rejects_invalid_inputs():
+    """The C solver must never see inputs it would corrupt memory on:
+    non-finite costs, column mismatches, and negative masses raise
+    ValueError (matching the scipy path) instead of reaching C++."""
+    from fairdiff.native.emd_lib import emd_batch_native
+
+    cost = np.ones((4, 2))
+    with pytest.raises(ValueError, match="finite"):
+        emd_assignment_native(np.asarray([2, 2]), cost * np.nan)
+    with pytest.raises(ValueError, match="columns"):
+        emd_assignment_native(np.asarray([2, 1, 1]), cost)
+    with pytest.raises(ValueError, match="negative"):
+        emd_assignment_native(np.asarray([-1, 5]), cost)
+    with pytest.raises(ValueError, match="finite"):
+        emd_batch_native(np.asarray([[2, 2]]), np.full((4, 2), np.inf))
