@@ -75,6 +75,16 @@ def dot_product_attention(
         from fairdiff.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
+    # rematerialized: the backward otherwise saves probs [B,H,S,T] per
+    # layer — at the UNet's S=4096 q-rows with T=77 cross-attn keys
+    # that is ~80MB/layer (~1.3GB across SD-1.5), which OOMs the
+    # one-step pair VJP on 16G. Recomputing this softmax in the VJP is
+    # ~2% of block FLOPs; no-grad paths are unaffected by checkpoint.
+    return _xla_attention(q, k, v, bias)
+
+
+@jax.checkpoint
+def _xla_attention(q, k, v, bias):
     orig_dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
