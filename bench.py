@@ -204,7 +204,25 @@ def main():
     root = jax.random.key(42)
 
     t0 = time.time()
-    state, _ = trainer.train_step(state, (cond, uncond), root)  # compile+run
+    # The pair-VJP is the memory-critical program; if a future shape/config
+    # change pushes it over 16G HBM, degrade to fewer pair lanes (slower,
+    # but a real number beats a crashed bench). The trainer reads
+    # FAIRDIFF_PAIR_LANES per call, so retries need no rebuild.
+    import os
+
+    for lanes in (os.environ.get("FAIRDIFF_PAIR_LANES"), "4", "2", "1"):
+        if lanes is not None:
+            os.environ["FAIRDIFF_PAIR_LANES"] = lanes
+        try:
+            state, _ = trainer.train_step(state, (cond, uncond), root)
+            break
+        except Exception as e:  # jaxlib XlaRuntimeError has no stable path
+            if "RESOURCE_EXHAUSTED" not in str(e) or lanes == "1":
+                raise
+            print(
+                f"# OOM at pair_lanes={lanes or 'default'}; retrying smaller",
+                file=sys.stderr,
+            )
     compile_step = time.time() - t0
     from fairdiff.utils.profiling import PhaseTimers
 
