@@ -1,3 +1,4 @@
+from fairdiff.parallel.tp import shard_sd_params, sd_param_specs
 from fairdiff.parallel.mesh import (
     MeshConfig,
     create_mesh,
@@ -14,4 +15,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "with_sharding",
+    "shard_sd_params",
+    "sd_param_specs",
 ]

@@ -32,8 +32,10 @@ class MeshConfig:
 
     data:  batch / image-ensemble parallelism (the reference's only axis —
            2-way DP over A100s; here it is N-way over TPU chips).
-    model: reserved tensor-parallel axis for sharding UNet/CLIP attention
-           heads; size 1 for SD-1.5 scale (see SURVEY.md §2.5).
+    model: tensor-parallel axis — Megatron-style column/row sharding of
+           UNet/CLIP attention heads and the TE MLP (fairdiff/parallel/tp.py).
+           Size 1 (pure DP) suffices at SD-1.5 scale (SURVEY.md §2.5);
+           sizes 2/4 divide per-chip activation memory past one HBM.
     """
 
     data: int = -1  # -1 = all remaining devices

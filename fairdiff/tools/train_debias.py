@@ -39,6 +39,13 @@ class TrainCLIConfig:
     # mesh) or "" = default real-TPU backend
     platform: str = ""
     num_cpu_devices: int = 8
+    # device mesh: mesh_data=1, mesh_model=1 (default) = single-program,
+    # no mesh (the 1-chip case). mesh_data=0 = auto: all visible devices
+    # divided by mesh_model. mesh_model>1 Megatron-shards attention/TE-MLP
+    # over the "model" axis (fairdiff/parallel/tp.py); SD-1.5 allows
+    # mesh_model in {1, 2, 4} (UNet 8 heads, TE 12).
+    mesh_data: int = 1
+    mesh_model: int = 1
     experiment: str = "exp1"
     model_dir: str = ""
     tokenizer_dir: str = ""
@@ -118,7 +125,16 @@ def build_trainer(cfg: TrainCLIConfig, *, abstract_params: bool = False):
             print("[train] WARNING: no --guidance_dir; synthetic guidance")
             guidance = synthetic_stack(dcfg.attributes)
 
-    trainer = DebiasTrainer(sd, params, guidance, dcfg)
+    mesh = None
+    model_axis = max(cfg.mesh_model, 1)
+    data_axis = cfg.mesh_data if cfg.mesh_data else (
+        jax.device_count() // model_axis
+    )
+    if (data_axis > 1 or model_axis > 1) and not abstract_params:
+        from fairdiff.parallel import MeshConfig, create_mesh
+
+        mesh = create_mesh(MeshConfig(data=data_axis, model=model_axis))
+    trainer = DebiasTrainer(sd, params, guidance, dcfg, mesh=mesh)
     return sd, trainer, dcfg
 
 

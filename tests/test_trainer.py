@@ -219,6 +219,38 @@ def test_mesh_matches_single_device():
     assert abs(logs1["train_loss"] - logs2["train_loss"]) < 1e-3
 
 
+def test_tp_mesh_matches_single_device():
+    """Tensor parallelism: a full train step on a ("data"=4, "model"=2)
+    mesh — attention/TE-MLP params sharded over heads (parallel/tp.py),
+    lanes over data — must produce the same adapter update as one device.
+    The reference has no TP at all (SURVEY §2.5); this pins the TPU-native
+    extension end-to-end through all four phases."""
+    from fairdiff.parallel import MeshConfig, create_mesh
+
+    t1, prompt_ids = _setup(train_images_per_prompt=8, train_unet=True)
+    s1 = t1.init_state(jax.random.key(1))
+    s1, logs1 = t1.train_step(s1, prompt_ids, jax.random.key(42))
+
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    t2, _ = _setup(mesh=mesh, train_images_per_prompt=8, train_unet=True)
+    assert any(
+        "model" in (leaf.sharding.spec or ())
+        for path, leaf in jax.tree_util.tree_leaves_with_path(t2.params["unet"])
+        if "to_q" in jax.tree_util.keystr(path)
+    ), "UNet attention params should be model-sharded"
+    s2 = t2.init_state(jax.random.key(1))
+    s2, logs2 = t2.train_step(s2, prompt_ids, jax.random.key(42))
+
+    for name in ("te_lora", "unet_lora"):
+        l1 = jax.tree_util.tree_leaves(s1.adapters[name])
+        l2 = jax.tree_util.tree_leaves(s2.adapters[name])
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            )
+    assert abs(logs1["train_loss"] - logs2["train_loss"]) < 1e-3
+
+
 def test_linearized_phase4_matches_chain(monkeypatch):
     """The linearized phase 4 (phase-1 trajectory reuse + analytic chain
     cotangents + flat per-step UNet VJPs) must yield the SAME adapter
