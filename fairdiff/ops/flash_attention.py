@@ -52,16 +52,22 @@ def _flash_kernel(
     log-sum-exp costs an extra [B*H, S, 128] f32 HBM write, which at
     phase-1/3 batch sizes is ~1GB per attention call — the no-grad path
     compiles the kernel without it."""
-    q = q_ref[0].astype(jnp.float32) * scale  # [BLOCK_S, D]
+    # MXU-native precision: every dot runs in the INPUT dtype with fp32
+    # accumulation (preferred_element_type). bf16 activations hit the
+    # single-pass MXU mode; an fp32 matmul costs 3-6 decomposed passes
+    # (measured ~1.9x whole-kernel). fp32 inputs (the interpret-mode CPU
+    # goldens) keep full precision. Softmax statistics and the output
+    # accumulator are always fp32, as in the reference xformers path.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     n_t = k_ref.shape[1] // block_t
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_t, block_t), :]
+        v = v_ref[0, pl.ds(i * block_t, block_t), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BLOCK_S, BLOCK_T]
+        )  # [BLOCK_S, BLOCK_T] fp32
         # mask padded key rows
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
         s = jnp.where(col < t_valid, s, -jnp.inf)
@@ -70,7 +76,8 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + p.sum(axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -152,16 +159,21 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
     *, scale: float, t_valid: int, block_t: int,
 ):
-    """One (batch*head, q-block): dq = sum_tiles (p*(dO·V^T - delta))·K."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    """One (batch*head, q-block): dq = sum_tiles (p*(dO·V^T - delta))·K.
+
+    Dots run in the input dtype with fp32 accumulation (see _flash_kernel);
+    p/ds are rounded back to the activation dtype before their MXU dots,
+    matching the forward's probability precision.
+    """
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, :1]
     dlt = dlt_ref[0][:, :1]
     n_t = k_ref.shape[1] // block_t
 
     def body(i, acc):
-        k = k_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_t, block_t), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_t, block_t), :]
+        v = v_ref[0, pl.ds(i * block_t, block_t), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -171,7 +183,7 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - dlt)
+        ds = (p * (dp - dlt)).astype(k.dtype)
         return acc + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -191,27 +203,28 @@ def _bwd_dkv_kernel(
     Padded q rows carry dO == 0 and delta == 0 so they contribute nothing;
     padded k rows only pollute output rows that the wrapper slices away.
     """
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     n_s = q_ref.shape[1] // BLOCK_S
 
     def body(j, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :]
+        do = do_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :]
         lse = lse_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :][:, :1]
         dlt = dlt_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :][:, :1]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BLOCK_S, BLOCK_T]
+        )  # [BLOCK_S, BLOCK_T] fp32
         p = jnp.exp(s - lse)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - dlt)
+        ds = (p * (dp - dlt)).astype(q.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )

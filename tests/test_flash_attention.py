@@ -88,3 +88,38 @@ def test_flash_grad_recompute_fallback(monkeypatch):
     g1 = jax.grad(lambda a: fa.flash_attention(a, k, v).sum())(q)
     g2 = jax.grad(lambda a: _ref(a, k, v).sum())(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
+
+
+def test_flash_bf16_dots_match_fp32_reference(monkeypatch):
+    """bf16 inputs route the MXU dots through bf16 operands (fp32 accum);
+    outputs and grads must stay within bf16 rounding of the fp32 math."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    rng = np.random.default_rng(3)
+    q32 = rng.normal(size=(1, 600, 2, 40)).astype(np.float32)
+    k32 = rng.normal(size=(1, 300, 2, 40)).astype(np.float32)
+    v32 = rng.normal(size=(1, 300, 2, 40)).astype(np.float32)
+    w32 = rng.normal(size=(1, 600, 2, 40)).astype(np.float32)
+    q, k, v, w = (jnp.asarray(x, jnp.bfloat16) for x in (q32, k32, v32, w32))
+
+    out = fa._flash_forward(q, k, v).astype(jnp.float32)
+    ref = _ref(*(jnp.asarray(x) for x in (q32, k32, v32))).astype(jnp.float32)
+    # bf16 has ~8 bits of mantissa; softmax-weighted sums stay O(1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+
+    def loss(f, *args):
+        return (f(*args).astype(jnp.float32) * w.astype(jnp.float32)).sum()
+
+    got = jax.grad(functools.partial(loss, fa.flash_attention), argnums=(0, 1, 2))(q, k, v)
+    ref_g = jax.grad(functools.partial(loss, _ref), argnums=(0, 1, 2))(
+        *(jnp.asarray(x, jnp.bfloat16) for x in (q32, k32, v32))
+    )
+    for gg, rr, name in zip(got, ref_g, "qkv"):
+        gg = np.asarray(gg, np.float32)
+        rr = np.asarray(rr, np.float32)
+        scale = max(1.0, np.abs(rr).max())
+        np.testing.assert_allclose(gg / scale, rr / scale, atol=4e-2, err_msg=f"d{name}")
