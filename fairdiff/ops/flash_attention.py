@@ -58,14 +58,16 @@ def _flash_kernel(
     # (measured ~1.9x whole-kernel). fp32 inputs (the interpret-mode CPU
     # goldens) keep full precision. Softmax statistics and the output
     # accumulator are always fp32, as in the reference xformers path.
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    q = q_ref[0]
     n_t = k_ref.shape[1] // block_t
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_t, block_t), :]
         v = v_ref[0, pl.ds(i * block_t, block_t), :]
-        s = jax.lax.dot_general(
+        # scale applied to the fp32 scores, not to q: pre-scaling q would
+        # round the product back to bf16 before the dot
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BLOCK_S, BLOCK_T] fp32
         # mask padded key rows
