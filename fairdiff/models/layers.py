@@ -58,6 +58,11 @@ class FusedGroupNorm(nn.Module):
         )
 
 
+# minimum key length for the flash kernel (module-level so tests can
+# force the flash path at tiny shapes)
+FLASH_MIN_KV = 256
+
+
 def dot_product_attention(
     q: jax.Array,  # [B, S, H, D]
     k: jax.Array,  # [B, T, H, D]
@@ -71,7 +76,7 @@ def dot_product_attention(
     # flash only where it wins: long-key self-attention (the 1024/4096-token
     # UNet latents). Short keys (77-token cross-attn, 257-token CLIP) pad to
     # the 512-lane tile and lose to the fused XLA softmax path.
-    if use_flash and bias is None and k.shape[1] >= 256:
+    if use_flash and bias is None and k.shape[1] >= FLASH_MIN_KV:
         from fairdiff.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)

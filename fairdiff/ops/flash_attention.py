@@ -28,7 +28,9 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 BLOCK_S = 512
 # 1024-wide K/V tiles measured ~6% faster fwd+bwd than 512 at the 4096-token
@@ -343,15 +345,128 @@ def flash_attention_tpu_lib(q, k, v):
     return out.transpose(0, 2, 1, 3)
 
 
+# ---------------------------------------------------------------------------
+# Sharded dispatch: the pallas_call is a custom call that XLA's SPMD
+# partitioner cannot split on its own, so under a ("data","model") mesh a
+# bare kernel would force a full all-gather of the head-sharded activations.
+# Attention is embarrassingly parallel over (batch, heads) — exactly the two
+# dims the mesh shards (batch over "data", heads over "model" via the
+# Megatron column split in parallel/tp.py) — so custom_partitioning declares
+# that: each shard runs the unmodified kernel on its local (B/dp, H/mp)
+# slice and no collective is ever inserted (verified: no all-gather in the
+# partitioned HLO). Sequence and head_dim are forced replicated. On a
+# single device (the real-chip path) the wrapper is a pass-through; the
+# SPMD partitioner (and with it the Python partition callback) only runs
+# for multi-device programs, which in this repo are local (CPU-mesh)
+# compiles.
+#
+# The lse statistic crosses the fwd/bwd boundary as [B, H, s_pad, LANES]
+# (unfused batch/head dims) because a "model"-sharded H cannot be expressed
+# on the kernels' fused B*H-major layout: a fused spec P(("data","model"))
+# would slice contiguous B*H rows, which interleaves heads across batch
+# entries differently than the (b, h)-blocked layout the local kernels
+# produce. The reshape is local metadata only.
+
+
+def _qspec_bh(arg_infos):
+    """(batch, head) mesh axes from q's [B,S,H,D] sharding spec."""
+    sharding = arg_infos[0].sharding
+    spec = sharding.spec if sharding is not None else ()
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[2] if len(spec) > 2 else None
+    return b, h
+
+
+# (b_dim, h_dim) index pairs: [B,S,H,D] activations vs [B,H,s_pad,LANES] lse
+_ACT = (0, 2)
+_LSE = (0, 1)
+
+
+def _def_bh_partition(fn, in_dims, out_dims, rule):
+    """def_partition over (b, h) for kernels embarrassingly parallel there.
+
+    in_dims / out_dims: per operand/result, the (batch, head) positions in
+    its shape (_ACT or _LSE); every other dim is forced replicated.
+    """
+
+    def _shardings(mesh, b, h, dims, infos):
+        if not isinstance(infos, (list, tuple)):
+            infos = [infos]  # single-result callbacks get a bare struct
+        return tuple(
+            NamedSharding(
+                mesh,
+                P(*[
+                    b if d == bd else h if d == hd else None
+                    for d in range(len(info.shape))
+                ]),
+            )
+            for (bd, hd), info in zip(dims, infos)
+        )
+
+    def _infer(mesh, arg_infos, result_infos):
+        b, h = _qspec_bh(arg_infos)
+        outs = _shardings(mesh, b, h, out_dims, result_infos)
+        return outs if len(outs) > 1 else outs[0]
+
+    def _partition(mesh, arg_infos, result_infos):
+        b, h = _qspec_bh(arg_infos)
+        outs = _shardings(mesh, b, h, out_dims, result_infos)
+        return (
+            mesh,
+            fn,
+            outs if len(outs) > 1 else outs[0],
+            _shardings(mesh, b, h, in_dims, arg_infos),
+        )
+
+    wrapped = custom_partitioning(fn)
+    wrapped.def_partition(
+        infer_sharding_from_operands=_infer,
+        partition=_partition,
+        sharding_rule=rule,
+    )
+    return wrapped
+
+
+def _fwd_impl(q, k, v):
+    return _flash_forward(q, k, v)
+
+
+def _fwd_lse_impl(q, k, v):
+    o, lse = _flash_forward(q, k, v, with_lse=True)
+    B, _, H, _ = q.shape
+    return o, lse.reshape(B, H, *lse.shape[1:])
+
+
+def _bwd_impl(q, k, v, o, lse4, g):
+    B, H = lse4.shape[:2]
+    lse = lse4.reshape(B * H, *lse4.shape[2:])
+    return _flash_backward(q, k, v, o, lse, g)
+
+
+_fwd_sharded = _def_bh_partition(
+    _fwd_impl, [_ACT] * 3, [_ACT],
+    "b s h d, b t h d, b t h d -> b s h d",
+)
+_fwd_lse_sharded = _def_bh_partition(
+    _fwd_lse_impl, [_ACT] * 3, [_ACT, _LSE],
+    "b s h d, b t h d, b t h d -> b s h d, b h p l",
+)
+_bwd_sharded = _def_bh_partition(
+    _bwd_impl, [_ACT, _ACT, _ACT, _ACT, _LSE, _ACT], [_ACT] * 3,
+    "b s h d, b t h d, b t h d, b s h d, b h p l, b s h d"
+    " -> b s h d, b t h d, b t h d",
+)
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v):
-    return _flash_forward(q, k, v)
+    return _fwd_sharded(q, k, v)
 
 
 def _fa_fwd(q, k, v):
     if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "recompute":
-        return _flash_forward(q, k, v), (q, k, v, None, None)
-    o, lse = _flash_forward(q, k, v, with_lse=True)
+        return _fwd_sharded(q, k, v), (q, k, v, None, None)
+    o, lse = _fwd_lse_sharded(q, k, v)
     return o, (q, k, v, o, lse)
 
 
@@ -361,7 +476,7 @@ def _fa_bwd(res, g):
         # XLA-recompute fallback (materialises the [S,T] score matrix)
         _, vjp = jax.vjp(_xla_attention, q, k, v)
         return vjp(g)
-    return _flash_backward(q, k, v, o, lse, g)
+    return _bwd_sharded(q, k, v, o, lse, g)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

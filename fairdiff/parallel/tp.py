@@ -33,10 +33,10 @@ Head divisibility: the number of attention heads must divide by the model
 axis size (SD-1.5: UNet 8 heads, TE 12 heads -> model in {1,2,4}).
 
 Pallas note: the flash-attention kernel is a custom call that GSPMD cannot
-partition over the head axis; under model>1 attention must use the XLA
-einsum path (`use_flash=False`) — `DebiasTrainer` enforces this. The XLA
-path's softmax is rematerialized (models/layers.py), so per-chip attention
-memory still scales down with the head shard.
+partition on its own, so `ops/flash_attention.py` declares the kernel's
+(batch, head) embarrassing parallelism via `custom_partitioning` — under
+model>1 each shard runs the unmodified kernel on its local head slice,
+no gather inserted, and TP keeps the fast attention path.
 """
 
 from __future__ import annotations

@@ -140,19 +140,11 @@ class DebiasTrainer:
         if mesh is not None:
             from fairdiff.parallel.tp import shard_sd_params
 
-            if int(mesh.shape.get("model", 1)) > 1 and sd.unet.use_flash:
-                # GSPMD cannot partition the Pallas flash custom call over
-                # the head axis; under tensor parallelism attention runs
-                # the XLA einsum path (rematerialized softmax), whose
-                # per-chip memory scales down with the head shard.
-                from fairdiff.models.unet2d import UNet2DCondition
-
-                sd.unet = UNet2DCondition(
-                    sd.config.unet, dtype=sd.unet.dtype,
-                    use_flash=False, remat=sd.unet.remat,
-                )
             # data-parallel (model=1): degenerates to full replication;
-            # model>1: Megatron-style column/row attention + TE-MLP split
+            # model>1: Megatron-style column/row attention + TE-MLP split.
+            # Flash attention stays on under TP: the kernel declares its
+            # (batch, head) parallelism via custom_partitioning, so each
+            # shard runs it on its local head slice with no gather.
             frozen_params = shard_sd_params(mesh, frozen_params, sd.config)
         self.params = frozen_params
         self.logger = logger or (lambda step, logs: None)

@@ -123,3 +123,45 @@ def test_flash_bf16_dots_match_fp32_reference(monkeypatch):
         rr = np.asarray(rr, np.float32)
         scale = max(1.0, np.abs(rr).max())
         np.testing.assert_allclose(gg / scale, rr / scale, atol=4e-2, err_msg=f"d{name}")
+
+
+def test_flash_sharded_over_batch_and_heads(monkeypatch):
+    """custom_partitioning runs the kernel per-shard under a ("data","model")
+    mesh — batch over data, heads over model (the TP layout) — with no
+    gather: fwd and grads must match the XLA reference and keep the
+    operand sharding."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(4, 512, 2, 40)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(4, 300, 2, 40)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4, 300, 2, 40)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 512, 2, 40)).astype(np.float32))
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    out = jax.jit(fa.flash_attention)(qs, ks, vs)
+    assert out.sharding.is_equivalent_to(sh, out.ndim)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-5
+    )
+
+    def loss(f, a, b, c):
+        return (f(a, b, c) * w).sum()
+
+    got = jax.jit(
+        jax.grad(functools.partial(loss, fa.flash_attention), argnums=(0, 1, 2))
+    )(qs, ks, vs)
+    ref = jax.grad(functools.partial(loss, _ref), argnums=(0, 1, 2))(q, k, v)
+    for gg, rr, name in zip(got, ref, "qkv"):
+        assert gg.sharding.is_equivalent_to(sh, gg.ndim), name
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(rr), atol=5e-5, err_msg=f"d{name}"
+        )

@@ -147,3 +147,49 @@ def test_shard_sd_params_full_tree():
             assert leaf.sharding.spec == P(), k
     specs = sd_param_specs(params, sd.config)
     assert set(specs) == set(params)
+
+
+def test_unet_tp_with_flash_attention(monkeypatch):
+    """Full tiny UNet under dp=4 x tp=2 with the flash kernel ON (interpret
+    mode, threshold lowered so tiny seqs take the flash path): the
+    custom_partitioning declaration must keep TP numerics identical to the
+    replicated flash forward, with the head-sharded activations flowing
+    into the kernel."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    import fairdiff.models.layers as layers_mod
+    from fairdiff.models.unet2d import UNet2DCondition, UNetConfig
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    monkeypatch.setattr(layers_mod, "FLASH_MIN_KV", 1)
+
+    cfg = UNetConfig.tiny()
+    model = UNet2DCondition(cfg, use_flash=True)
+    B = 4
+    x = jax.random.normal(
+        jax.random.key(1), (B, cfg.sample_size, cfg.sample_size, cfg.in_channels)
+    )
+    t = jnp.full((B,), 7, jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (B, 4, cfg.cross_attention_dim))
+    params = model.init(jax.random.key(0), x, t, ctx)["params"]
+
+    fn = jax.jit(lambda p, x, t, c: model.apply({"params": p}, x, t, c))
+    ref = np.asarray(fn(params, x, t, ctx))
+
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    specs = unet_param_specs(params, 2, cfg.attention_head_dim)
+    sharded = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda a: isinstance(a, P),
+    )
+    batch_sh = NamedSharding(mesh, P("data"))
+    out = np.asarray(fn(
+        sharded,
+        jax.device_put(x, batch_sh),
+        jax.device_put(t, batch_sh),
+        jax.device_put(ctx, batch_sh),
+    ))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
