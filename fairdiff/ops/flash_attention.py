@@ -458,15 +458,32 @@ _bwd_sharded = _def_bh_partition(
 )
 
 
+@functools.lru_cache(maxsize=1)
+def _partitioned() -> bool:
+    """Route through the custom_partitioning wrappers only on multi-device
+    backends. On a single device the wrappers are semantically a
+    pass-through, but they still lower a CustomSPMDPartitioning custom
+    call whose partition callbacks live in THIS process — a remote
+    compile service (the tunneled single-chip TPU backend) cannot invoke
+    them, so the single-device path emits the plain kernels."""
+    return jax.device_count() > 1
+
+
+def _fwd(q, k, v):
+    return _fwd_sharded(q, k, v) if _partitioned() else _fwd_impl(q, k, v)
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v):
-    return _fwd_sharded(q, k, v)
+    return _fwd(q, k, v)
 
 
 def _fa_fwd(q, k, v):
     if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "recompute":
-        return _fwd_sharded(q, k, v), (q, k, v, None, None)
-    o, lse = _fwd_lse_sharded(q, k, v)
+        return _fwd(q, k, v), (q, k, v, None, None)
+    o, lse = (
+        _fwd_lse_sharded(q, k, v) if _partitioned() else _fwd_lse_impl(q, k, v)
+    )
     return o, (q, k, v, o, lse)
 
 
@@ -476,7 +493,9 @@ def _fa_bwd(res, g):
         # XLA-recompute fallback (materialises the [S,T] score matrix)
         _, vjp = jax.vjp(_xla_attention, q, k, v)
         return vjp(g)
-    return _bwd_sharded(q, k, v, o, lse, g)
+    if _partitioned():
+        return _bwd_sharded(q, k, v, o, lse, g)
+    return _bwd_impl(q, k, v, o, lse, g)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
