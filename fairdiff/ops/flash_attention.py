@@ -56,10 +56,11 @@ def _flash_kernel(
     compiles the kernel without it."""
     # MXU-native precision: every dot runs in the INPUT dtype with fp32
     # accumulation (preferred_element_type). bf16 activations hit the
-    # single-pass MXU mode; an fp32 matmul costs 3-6 decomposed passes
-    # (measured ~1.9x whole-kernel). fp32 inputs (the interpret-mode CPU
-    # goldens) keep full precision. Softmax statistics and the output
-    # accumulator are always fp32, as in the reference xformers path.
+    # single-pass MXU mode; upcasting operands to fp32 (the previous
+    # revision) forces the multi-pass fp32 matmul decomposition. fp32
+    # inputs (the interpret-mode CPU goldens) keep full precision. Softmax
+    # statistics and the output accumulator are always fp32, as in the
+    # reference xformers path.
     q = q_ref[0]
     n_t = k_ref.shape[1] // block_t
 
