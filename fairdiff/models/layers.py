@@ -92,7 +92,15 @@ def dot_product_attention(
 def _xla_attention(q, k, v, bias):
     orig_dtype = q.dtype
     scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) * scale
+    # preferred_element_type: the MXU accumulates bf16 products in fp32
+    # anyway — asking for fp32 out keeps full-precision logits for the
+    # softmax at identical cost (the old astype-after rounded to bf16 first)
+    logits = (
+        jnp.einsum(
+            "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
