@@ -289,10 +289,12 @@ def _flash_backward(q, k, v, o, lse, g):
     qo_full_spec = pl.BlockSpec(
         (1, s_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    # dkv holds full Q/dO/lse/delta in VMEM, so 1024-wide k-blocks push the
-    # kernel ~300K over the 16M scoped-vmem limit — keep 512 here (t_pad is
-    # a multiple of bt >= 512, so it still tiles)
-    bkv = min(bt, 512)
+    # dkv holds full Q/dO/lse/delta in VMEM, so 1024-wide k-blocks pushed
+    # the fp32-dot kernel ~300K over the 16M scoped-vmem limit — default
+    # 512 (t_pad is a multiple of bt >= 512, so it still tiles). The bf16
+    # dots shrank the fp32 temps; FAIRDIFF_DKV_BLOCK=1024 re-tests the
+    # wide tile on real hardware.
+    bkv = min(bt, int(os.environ.get("FAIRDIFF_DKV_BLOCK", "512")))
     kv_spec = pl.BlockSpec(
         (1, bkv, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )

@@ -149,6 +149,7 @@ def test_shard_sd_params_full_tree():
     assert set(specs) == set(params)
 
 
+@pytest.mark.slow
 def test_unet_tp_with_flash_attention(monkeypatch):
     """Full tiny UNet under dp=4 x tp=2 with the flash kernel ON (interpret
     mode, threshold lowered so tiny seqs take the flash path): the
