@@ -2,6 +2,7 @@
 2-export-checkpoint.py, gen-images.py, eval-generated-images.py), in-process
 on the CPU mesh with tiny/synthetic models."""
 
+import json
 import pickle
 from pathlib import Path
 
@@ -335,3 +336,18 @@ def test_guidance_zoo_sfnet_variant_roundtrip(tmp_path):
     other = SFNet(SFNetConfig.for_variant("sfnet20"), dtype=jnp.bfloat16)
     alt = other.apply({"params": bf16}, chips)
     assert float(jnp.abs(got.astype(jnp.float32) - alt.astype(jnp.float32)).max()) > 1e-3
+
+
+@pytest.mark.slow
+def test_convergence_demo_cli(tmp_path):
+    """2-step smoke of the synthetic convergence demo: metrics.jsonl written
+    with the gap/fairness keys, curves rendered."""
+    from fairdiff.tools.convergence_demo import DemoConfig, main as demo_main
+
+    out = tmp_path / "conv"
+    demo_main(DemoConfig(steps=2, output_dir=str(out), plot=True))
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert "gender_gap_abs" in rec and "train_loss_fair" in rec
+    assert (out / "curves" / "gender_gap_abs.png").exists()
