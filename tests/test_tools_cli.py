@@ -338,6 +338,29 @@ def test_guidance_zoo_sfnet_variant_roundtrip(tmp_path):
     assert float(jnp.abs(got.astype(jnp.float32) - alt.astype(jnp.float32)).max()) > 1e-3
 
 
+def test_setup_data_synthesize_then_check(tmp_path):
+    """The synthetic bundle is loadable by the production readers and the
+    checker reports exactly the items the bundle cannot contain (weights)."""
+    from fairdiff.guidance.face_feats import FaceFeatsDB
+    from fairdiff.io.prompts import load_occupation_prompts
+    from fairdiff.tools.setup_data import SetupDataConfig, check, synthesize
+
+    out = synthesize(SetupDataConfig(synthetic_out=str(tmp_path / "bundle")))
+    dd = load_occupation_prompts(out / "1-prompts/occupation.json")
+    assert dd["train_prompts"] and dd["val_prompts"] and dd["test_prompts"]
+
+    db1 = FaceFeatsDB.from_pickle(out / "3-face-features/exp1/face_feats.pkl")
+    assert db1.feats.shape == (64, 512) and "race" not in db1.extra
+    db3 = FaceFeatsDB.from_pickle(out / "3-face-features/exp3/face_feats.pkl")
+    assert "race" in db3.extra and db3.extra["race"].shape == (64,)
+
+    missing = check(SetupDataConfig(data_dir=str(out)))
+    # prompts + face feats are present; classifiers/backbones by design not
+    for exp in ("exp1", "exp5"):
+        assert all("classifier" in m or "opensphere" in m for m in missing[exp])
+    assert "held-out test classifiers" in missing["eval"][0]
+
+
 @pytest.mark.slow
 def test_convergence_demo_cli(tmp_path):
     """2-step smoke of the synthetic convergence demo: metrics.jsonl written
