@@ -154,6 +154,25 @@ class CrossAttention(nn.Module):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-shaped {kernel, bias} without running its
+    matmul — the fused-GEGLU path consumes the weights directly while the
+    param tree (and so every converter/checkpoint) stays byte-identical."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
 class FeedForwardGEGLU(nn.Module):
     dim: int
     mult: int = 4
@@ -161,10 +180,21 @@ class FeedForwardGEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from fairdiff.ops.geglu import fused_geglu, fused_geglu_enabled
+
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(proj, 2, axis=-1)
-        h = h * jax.nn.gelu(gate, approximate=False)
+        if fused_geglu_enabled():
+            # Pallas kernel: gate computed in VMEM, the 8*d projection
+            # never hits HBM (ops/geglu.py; opt-in FAIRDIFF_FUSED_GEGLU=1)
+            k, b = _DenseParams(x.shape[-1], inner * 2, name="proj")()
+            h = fused_geglu(
+                x.astype(self.dtype), k.astype(self.dtype),
+                b.astype(self.dtype),
+            )
+        else:
+            proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+            h, gate = jnp.split(proj, 2, axis=-1)
+            h = h * jax.nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
 
 
