@@ -99,7 +99,12 @@ def _dx_kernel(
         dx_ref[...] = acc_ref[...].astype(dx_ref.dtype)
 
 
-def _block_m(m: int, cap: int) -> int:
+def _block_m(m: int, d: int, cap: int, env: str) -> int:
+    """Row-block size: `cap` rows, halved at d>640 so the x tile (and the
+    dx kernel's fp32 scratch) stays ~2.5 MB under the v5e's ~16 MB scoped
+    VMEM with double buffering. Env-tunable (FAIRDIFF_GEGLU_BM / _BM_DX)
+    for on-chip retuning without a code change."""
+    cap = int(os.environ.get(env, cap // 2 if d > 640 else cap))
     return cap if m >= cap else _round_up(m, 256)
 
 
@@ -139,7 +144,7 @@ def _geglu_forward(x2, w, b):
     # 1024-row x blocks: the x tile is fetched once per m-block (the n grid
     # dim is fastest and its index map ignores n), and weight streaming
     # amortises over 1024 rows — the compute intensity XLA's own dot gets
-    bm = _block_m(m, 1024)
+    bm = _block_m(m, d, 1024, "FAIRDIFF_GEGLU_BM")
     xp, m_pad = _prep_x(x2, bm)
     x_spec = pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -158,7 +163,8 @@ def _geglu_dx(x2, w, b, dy2):
     m, d = x2.shape
     bn = min(BLOCK_N, _round_up(w.shape[1] // 2, 128))
     wh, wg, bh, bg, inner, n_pad = _split_pad(w, b, bn)
-    bm = _block_m(m, 512)  # smaller than fwd: the fp32 dx scratch is [bm, d]
+    # smaller than fwd: the fp32 dx scratch is [bm, d]
+    bm = _block_m(m, d, 512, "FAIRDIFF_GEGLU_BM_DX")
     xp, m_pad = _prep_x(x2, bm)
     dyp = jnp.pad(dy2, [(0, m_pad - m), (0, n_pad - inner)])
     x_spec = pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
