@@ -210,19 +210,52 @@ def main():
     # FAIRDIFF_PAIR_LANES per call, so retries need no rebuild.
     import os
 
-    for lanes in (os.environ.get("FAIRDIFF_PAIR_LANES"), "4", "2", "1"):
-        if lanes is not None:
-            os.environ["FAIRDIFF_PAIR_LANES"] = lanes
+    def first_step(trainer, state):
+        for lanes in (os.environ.get("FAIRDIFF_PAIR_LANES"), "4", "2", "1"):
+            if lanes is not None:
+                os.environ["FAIRDIFF_PAIR_LANES"] = lanes
+            try:
+                return trainer.train_step(state, (cond, uncond), root)[0]
+            except Exception as e:  # XlaRuntimeError has no stable path
+                if "RESOURCE_EXHAUSTED" not in str(e) or lanes == "1":
+                    raise
+                print(
+                    f"# OOM at pair_lanes={lanes or 'default'}; "
+                    "retrying smaller",
+                    file=sys.stderr,
+                )
+
+    # Non-OOM failures (e.g. a Mosaic regression in a Pallas kernel on a
+    # new toolchain) escalate through safe modes instead of crashing the
+    # bench: Pallas flash backward -> XLA-recompute vjp -> XLA attention.
+    # The degraded number is real and the mode is printed to stderr.
+    fallbacks = (
+        {"note": "flash backward -> XLA recompute vjp",
+         "env": ("FAIRDIFF_FLASH_BWD", "recompute")},
+        {"note": "flash disabled -> XLA attention", "use_flash": False},
+    )
+    for i in range(len(fallbacks) + 1):
         try:
-            state, _ = trainer.train_step(state, (cond, uncond), root)
+            state = first_step(trainer, state)
             break
-        except Exception as e:  # jaxlib XlaRuntimeError has no stable path
-            if "RESOURCE_EXHAUSTED" not in str(e) or lanes == "1":
+        except Exception as e:
+            if quick or i == len(fallbacks):
                 raise
+            fb = fallbacks[i]
             print(
-                f"# OOM at pair_lanes={lanes or 'default'}; retrying smaller",
+                f"# train step failed ({type(e).__name__}: {str(e)[:200]});"
+                f" falling back: {fb['note']}",
                 file=sys.stderr,
             )
+            if "env" in fb:
+                os.environ[fb["env"][0]] = fb["env"][1]
+            if fb.get("use_flash") is False:
+                from fairdiff.sampling.pipeline import StableDiffusion
+
+                sd = StableDiffusion(sd.config, use_flash=False)
+            # rebuild so every jit cache re-traces under the new mode
+            trainer = DebiasTrainer(sd, params, guidance, cfg)
+            state = trainer.init_state(jax.random.key(1))
     compile_step = time.time() - t0
     from fairdiff.utils.profiling import PhaseTimers
 
