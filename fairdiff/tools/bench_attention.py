@@ -40,9 +40,10 @@ def timeit(fn, q, k, v, iters=50):
         c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype), None, length=iters)
         return c
 
-    jax.block_until_ready(loop(q, k, v))  # compile
+    float(loop(q, k, v))  # compile
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(q, k, v))
+    # value fetch: block_until_ready is dispatch-only on the tunnel backend
+    float(loop(q, k, v))
     return (time.perf_counter() - t0) / iters
 
 
