@@ -43,15 +43,31 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _erf(z):
+    """fp32 erf for the Pallas kernels (lax.erf has no Mosaic lowering).
+
+    Abramowitz & Stegun 7.1.26: |error| <= 1.5e-7 absolute — three orders
+    of magnitude below the bf16 output resolution the kernels write."""
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736
+               + t * (1.421413741
+                      + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu(z):
     """Exact gelu (erf form) in fp32 — approximate=False parity with the
     module's jax.nn.gelu and torch F.gelu default."""
-    return 0.5 * z * (1.0 + jax.lax.erf(z * (2.0**-0.5)))
+    return 0.5 * z * (1.0 + _erf(z * (2.0**-0.5)))
 
 
 def _gelu_grad(z):
     phi = jnp.exp(-0.5 * z * z) * (2.0 * jnp.pi) ** -0.5
-    big_phi = 0.5 * (1.0 + jax.lax.erf(z * (2.0**-0.5)))
+    big_phi = 0.5 * (1.0 + _erf(z * (2.0**-0.5)))
     return big_phi + z * phi
 
 

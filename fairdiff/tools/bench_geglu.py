@@ -62,7 +62,7 @@ def timeit(fn, args, iters):
         )
         return c
 
-    jax.block_until_ready(loop(*args))  # compile
+    float(loop(*args))  # compile + run (block_until_ready is dispatch-only here)
     t0 = time.perf_counter()
     float(loop(*args))  # value fetch: block_until_ready is dispatch-only here
     return (time.perf_counter() - t0) / iters
