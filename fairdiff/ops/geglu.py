@@ -16,10 +16,11 @@ Trade-off: the dx kernel re-runs the two projection dots (extra MXU work
 ~= one forward projection per backward) to avoid the 8*d HBM round-trip —
 the same recompute-over-bandwidth trade the flash backward makes.
 
-Gating: opt-in via FAIRDIFF_FUSED_GEGLU=1, single-device TPU only (the
-wrapper declares no custom_partitioning; under a multi-device mesh the
-module keeps the XLA path, consistent with parallel/tp.py's choice not to
-shard the GEGLU). Default OFF until measured against XLA on the chip.
+Gating: default ON for single-device TPU (opt out with
+FAIRDIFF_FUSED_GEGLU=0); the wrapper declares no custom_partitioning, so
+under a multi-device mesh the module keeps the XLA path, consistent with
+parallel/tp.py's choice not to shard the GEGLU. On-chip A/B numbers are
+in fused_geglu_enabled's docstring.
 
 Precision: dots run in the input dtype with fp32 accumulation
 (preferred_element_type), gelu/statistics in fp32 — the same policy as
@@ -250,7 +251,14 @@ def _single_tpu() -> bool:
 
 
 def fused_geglu_enabled() -> bool:
-    """Opt-in gate read at trace time (FAIRDIFF_FUSED_GEGLU=1)."""
+    """Gate read at trace time; default ON for single-TPU backends (opt out
+    with FAIRDIFF_FUSED_GEGLU=0). On-chip A/B at the SD-1.5 feed-forward
+    shapes, CFG-pair batch 16 (fwd / dx-backward, ms per call):
+      T=4096 d= 320: xla 6.61/6.01  fused 3.72/4.81  (1.78x / 1.25x)
+      T=1024 d= 640: xla 5.38/4.57  fused 3.19/4.15  (1.68x / 1.10x)
+      T= 256 d=1280: xla 3.76/3.74  fused 3.36/4.12  (1.12x / 0.91x)
+    Net win is the HBM round-trip of the 8*d projection at the two big
+    resolutions; the d=1280 dx regression is noise at step scale."""
     return (
-        os.environ.get("FAIRDIFF_FUSED_GEGLU", "0") == "1" and _single_tpu()
+        os.environ.get("FAIRDIFF_FUSED_GEGLU", "1") == "1" and _single_tpu()
     )
