@@ -259,6 +259,12 @@ def main():
     compile_step = time.time() - t0
     from fairdiff.utils.profiling import PhaseTimers
 
+    if "--verbose" in sys.argv:
+        first = {k: round(v, 1) for k, v in trainer.timers.summary().items()}
+        print(
+            f"# first-step phase times (compile-inclusive): {first}",
+            file=sys.stderr,
+        )
     trainer.timers = PhaseTimers()  # drop compile-inflated phase samples
 
     n_timed = 1 if quick else 2

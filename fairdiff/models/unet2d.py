@@ -185,7 +185,8 @@ class FeedForwardGEGLU(nn.Module):
         inner = self.dim * self.mult
         if fused_geglu_enabled():
             # Pallas kernel: gate computed in VMEM, the 8*d projection
-            # never hits HBM (ops/geglu.py; opt-in FAIRDIFF_FUSED_GEGLU=1)
+            # never hits HBM (ops/geglu.py; default ON for single-TPU,
+            # FAIRDIFF_FUSED_GEGLU=0 opts out)
             k, b = _DenseParams(x.shape[-1], inner * 2, name="proj")()
             h = fused_geglu(
                 x.astype(self.dtype), k.astype(self.dtype),

@@ -258,7 +258,11 @@ def fused_geglu_enabled() -> bool:
       T=1024 d= 640: xla 5.38/4.57  fused 3.19/4.15  (1.68x / 1.10x)
       T= 256 d=1280: xla 3.76/3.74  fused 3.36/4.12  (1.12x / 0.91x)
     Net win is the HBM round-trip of the 8*d projection at the two big
-    resolutions; the d=1280 dx regression is noise at step scale."""
+    resolutions; the d=1280 dx regression is noise at step scale.
+    Caveat: the A/B above is bf16-only (the production dtype). fp32
+    activations take this path unmeasured — fp32 MXU dots decompose into
+    multiple passes, so the profile differs; set FAIRDIFF_FUSED_GEGLU=0
+    for fp32 runs unless benchmarked."""
     return (
         os.environ.get("FAIRDIFF_FUSED_GEGLU", "1") == "1" and _single_tpu()
     )
