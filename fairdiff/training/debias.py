@@ -122,6 +122,36 @@ class DebiasState:
         return cls(children[0], children[1], children[2], aux[0])
 
 
+class _JitProgram:
+    """Lazy-jit callable that prefers an AOT-compiled executable.
+
+    `warmup()` builds each program ahead of time with `.lower().compile()`,
+    but jax does NOT install that executable into the jit dispatch cache —
+    a later plain call would compile the same HLO a second time, and the
+    remote TPU compile service only partially reuses the persistent disk
+    cache (the round-2 bench-timeout root cause: 487 s of parallel AOT
+    warmup followed by >20 min of serial *re*compiles inside the first
+    step). Keeping the `Compiled` object and calling it directly makes the
+    warmup authoritative. A signature drift (shape/dtype mismatch vs the
+    warmed arguments) raises TypeError before anything executes; we then
+    drop back to the lazy jit path, which is always correct.
+    """
+
+    def __init__(self, jitted, get_frozen=None):
+        self.jitted = jitted
+        self.compiled = None
+        self._get_frozen = get_frozen
+
+    def __call__(self, *a):
+        args = (self._get_frozen(), *a) if self._get_frozen else a
+        if self.compiled is not None:
+            try:
+                return self.compiled(*args)
+            except TypeError:  # arg-signature mismatch: warmed shapes drifted
+                self.compiled = None
+        return self.jitted(*args)
+
+
 class DebiasTrainer:
     def __init__(
         self,
@@ -258,8 +288,9 @@ class DebiasTrainer:
                     return images, res, final, traj
                 return images, res
 
-            jitted = jax.jit(fn)
-            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
+            self._jit_cache[key] = _JitProgram(
+                jax.jit(fn), lambda: self._frozen
+            )
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
@@ -458,8 +489,9 @@ class DebiasTrainer:
                 )
                 return g_final, logs
 
-            jitted = jax.jit(fn)
-            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
+            self._jit_cache[key] = _JitProgram(
+                jax.jit(fn), lambda: self._frozen
+            )
         return self._jit_cache[key]
 
     def _pair_grad_fn(self, n_steps: int, n_lane_chunks: int):
@@ -532,9 +564,168 @@ class DebiasTrainer:
                 (g_te,) = ctx_vjp((acc_c, mask_cot))
                 return jax.tree_util.tree_map(jnp.add, acc_a, g_te)
 
-            jitted = jax.jit(fn)
-            self._jit_cache[key] = lambda *a: jitted(self._frozen, *a)
+            self._jit_cache[key] = _JitProgram(
+                jax.jit(fn), lambda: self._frozen
+            )
         return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    def aot_jobs(
+        self,
+        state: "DebiasState",
+        prompt_ids: tuple[jax.Array, jax.Array],
+        n_steps: Optional[int] = None,
+        pair_lanes: Optional[int] = None,
+    ) -> list[tuple[str, Any, tuple]]:
+        """The five jitted programs of a linearized `train_step` with their
+        exact argument ShapeDtypeStructs — shared by `warmup` (parallel AOT
+        compile) and tools/tp_scaling.py (per-program `memory_analysis`
+        without executing anything). Shapes are derived with
+        `jax.eval_shape`, so this traces but never runs the model.
+        Single-host linearized path only; [] otherwise.
+        """
+        import os
+
+        cfg = self.cfg
+        n, m = cfg.train_images_per_prompt, cfg.train_micro_batch
+        use_linear = (
+            os.environ.get("FAIRDIFF_PHASE4", "linear") == "linear"
+            and n % m == 0
+        )
+        if self.mesh is not None or not use_linear:
+            return []
+        n_steps = int(n_steps or cfg.steps_low)
+        n_chunks = n // m
+
+        cond_raw, uncond_raw = prompt_ids
+        cond = self._prefix_ids(cond_raw)
+        uncond = self._match_len(uncond_raw, cond)
+        as_sds = lambda tree: jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), tree
+        )
+        frozen = as_sds(self._frozen)
+        adapters = as_sds(state.adapters)
+        noises = jax.ShapeDtypeStruct(
+            self.sd.latent_shape(n), jnp.float32
+        )
+
+        prog1 = self._sample_analyze_fn(
+            n_steps, True, full=False, with_latents=True
+        )
+        prog3 = self._sample_analyze_fn(n_steps, False)
+        _, res1, x_final, traj = jax.eval_shape(
+            prog1.jitted, frozen, adapters, noises, cond, uncond
+        )
+        _, res3 = jax.eval_shape(
+            prog3.jitted, frozen, None, noises, cond_raw, uncond_raw
+        )
+
+        # targets: run the real host-side generator on dummy probabilities
+        # so dtypes match train_step exactly (a dtype drift would silently
+        # warm the wrong program)
+        rng = np.random.default_rng(0)
+        probs_dummy = {
+            a: rng.dirichlet(
+                np.ones(res1.attrs[a].probs.shape[-1]), size=n
+            )
+            for a in cfg.attributes
+        }
+        targets = {
+            a: as_sds(jnp.asarray(v))
+            for a, v in self.make_targets(probs_dummy, rng).items()
+        }
+        sds = jax.ShapeDtypeStruct
+        ori = {
+            "face_bboxes": res3.faces.bboxes,
+            "clip_feats": res3.clip_feats,
+            "dino_feats": res3.dino_feats,
+            "face_feats": res3.face_feats,
+            "preds": {a: res3.attrs[a].preds for a in cfg.attributes},
+            "probs_max": {
+                a: sds(res3.attrs[a].probs.shape[:-1],
+                       res3.attrs[a].probs.dtype)
+                for a in cfg.attributes
+            },
+        }
+        chunk = lambda s: sds((n_chunks, m) + tuple(s.shape[1:]), s.dtype)
+        x_chunks = chunk(x_final)
+        targets_c = {a: chunk(v) for a, v in targets.items()}
+        ori_c = jax.tree_util.tree_map(chunk, ori)
+
+        # pair-VJP shapes (mirror train_step's lane-chunk selection)
+        if pair_lanes is not None:
+            p = int(pair_lanes)
+        else:
+            try:
+                p = int(os.environ.get("FAIRDIFF_PAIR_LANES", m))
+            except ValueError:
+                p = m
+        if p <= 0 or n % p:
+            p = m
+        npc = n // p
+        traj_c = sds((n_steps * npc, p) + tuple(traj.shape[2:]), traj.dtype)
+        cot_c = sds(traj_c.shape, jnp.float32)
+        ts = sds((n_steps * npc,), jnp.int32)
+
+        grads = adapters
+        opt_state = as_sds(state.opt_state)
+        ema = as_sds(state.ema)
+        decay = sds((), jnp.float32)
+
+        return [
+            ("phase1", prog1, (frozen, adapters, noises, cond, uncond)),
+            ("phase3", prog3, (frozen, None, noises, cond_raw, uncond_raw)),
+            ("final_grad", self._final_grad_fn(n_chunks),
+             (frozen, x_chunks, targets_c, ori_c)),
+            ("pair_grad", self._pair_grad_fn(n_steps, npc),
+             (frozen, adapters, traj_c, ts, cot_c, cond, uncond)),
+            ("update", self._update_fn(),
+             (adapters, opt_state, ema, grads, decay)),
+        ]
+
+    def warmup(self, state: "DebiasState",
+               prompt_ids: tuple[jax.Array, jax.Array],
+               n_steps: Optional[int] = None) -> float:
+        """Compile every program `train_step` will need, in PARALLEL, and
+        INSTALL the executables (see _JitProgram — .lower().compile() alone
+        does not make the later call fast).
+
+        AOT compiles run from ShapeDtypeStructs: nothing executes, so no
+        HBM pressure, and the XLA compile service overlaps the builds.
+        Returns wall seconds spent. Best-effort: a failed program is
+        reported on stderr and left to the lazy jit path.
+        """
+        import sys as _sys
+        import threading
+
+        t0 = time.time()
+        jobs = self.aot_jobs(state, prompt_ids, n_steps)
+        if not jobs:
+            return 0.0
+        errs: dict[str, Exception] = {}
+
+        def run(name, prog, args):
+            try:
+                compiled = prog.jitted.lower(*args).compile()
+                if isinstance(prog, _JitProgram):
+                    prog.compiled = compiled
+            except Exception as e:  # noqa: BLE001 — best-effort warmup
+                errs[name] = e
+
+        threads = [
+            threading.Thread(target=run, args=j, daemon=True) for j in jobs
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for name, e in errs.items():
+            print(
+                f"# warmup: {name} AOT compile failed "
+                f"({type(e).__name__}: {str(e)[:200]}); will compile lazily",
+                file=_sys.stderr,
+            )
+        return time.time() - t0
 
     def _update_fn(self):
         if "update" not in self._jit_cache:
@@ -555,7 +746,7 @@ class DebiasTrainer:
                 )
                 return new_adapters, new_opt, new_ema, norms
 
-            self._jit_cache["update"] = jax.jit(fn)
+            self._jit_cache["update"] = _JitProgram(jax.jit(fn))
         return self._jit_cache["update"]
 
     # ------------------------------------------------------------------

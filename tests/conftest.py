@@ -23,3 +23,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite is compile-dominated (tiny shapes,
+# hundreds of distinct programs); reruns on the same machine skip straight
+# to execution. CPU-specific dir — TPU-service entries don't mix in.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -477,3 +477,40 @@ def test_multi_attr_full_step(preset_name, expected_metrics):
         )
     )
     assert moved, f"{preset_name}: adapters did not move"
+
+
+def test_warmup_installs_and_step_uses_compiled():
+    """warmup() AOT-compiles all five linearized-step programs and INSTALLS
+    the executables (.lower().compile() alone leaves the jit dispatch cache
+    cold — the round-2 bench-timeout root cause). The subsequent train_step
+    must run on those executables: results match an un-warmed trainer
+    exactly and no _JitProgram dropped back to the lazy path."""
+    from fairdiff.training.debias import _JitProgram
+
+    trainer, prompt_ids = _setup()
+    state = trainer.init_state(jax.random.key(1))
+    wt = trainer.warmup(state, prompt_ids)
+    assert wt > 0.0
+    progs = {
+        k: v for k, v in trainer._jit_cache.items()
+        if isinstance(v, _JitProgram)
+    }
+    assert len(progs) == 5, sorted(progs)
+    assert all(p.compiled is not None for p in progs.values())
+
+    root = jax.random.key(42)
+    state2, logs = trainer.train_step(state, prompt_ids, root)
+    assert state2.step == 1 and np.isfinite(logs["train_loss"])
+    # no program fell back: a TypeError fallback clears .compiled
+    stale = [k for k, p in progs.items() if p.compiled is None]
+    assert not stale, f"warmed programs re-traced lazily: {stale}"
+
+    # warmed result == lazy result (the AOT shapes are the real shapes)
+    trainer2, _ = _setup()
+    state_b = trainer2.init_state(jax.random.key(1))
+    state2_b, logs_b = trainer2.train_step(state_b, prompt_ids, root)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state2.adapters),
+        jax.tree_util.tree_leaves(state2_b.adapters),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
