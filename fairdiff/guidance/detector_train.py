@@ -26,16 +26,33 @@ from fairdiff.models.face_detector import DetectorConfig, FaceDetectorNet
 # synthetic data
 # ---------------------------------------------------------------------------
 
+def _paint_blob(img: np.ndarray, rng: np.random.Generator) -> None:
+    """A non-face distractor: random-color ellipse with NO landmark
+    structure — hard negatives that teach the score head that 'skin-tone
+    blob' alone is not a face."""
+    size = img.shape[0]
+    cx, cy = rng.uniform(0.1, 0.9, 2) * size
+    hw, hh = rng.uniform(0.05, 0.25, 2) * size
+    ys, xs = np.mgrid[0:size, 0:size]
+    ell = ((xs - cx) / hw) ** 2 + ((ys - cy) / hh) ** 2 <= 1.0
+    color = rng.uniform(-0.8, 0.8, 3)
+    img[ell] = color + rng.normal(0, 0.05, (int(ell.sum()), 3))
+
+
 def render_face_scene(
-    rng: np.random.Generator, size: int = 128
+    rng: np.random.Generator, size: int = 128, distractors: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (image [size,size,3] in [-1,1], bbox [4], landmarks [5,2]).
 
     A face is an elliptical skin-tone blob with dark eye/nose/mouth dots at
     similarity-transformed ArcFace template positions — geometry-true, so a
     detector trained on it learns real localisation/landmark regression.
+    `distractors` adds that many non-face blobs painted BEFORE the face
+    (the face may partially occlude them, never the reverse).
     """
     img = rng.normal(0.0, 0.15, (size, size, 3)).astype(np.float32)
+    for _ in range(distractors):
+        _paint_blob(img, rng)
     scale = rng.uniform(0.25, 0.9) * size / 112.0
     cx = rng.uniform(0.3, 0.7) * size
     cy = rng.uniform(0.3, 0.7) * size
@@ -55,13 +72,113 @@ def render_face_scene(
     return np.clip(img, -1, 1), bbox.astype(np.float32), lms.astype(np.float32)
 
 
+def render_negative_scene(
+    rng: np.random.Generator, size: int = 128, distractors: int = 2
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Face-free scene (textured noise + distractor blobs). Ground truth is
+    the -1 fill contract: bbox [-1]*4, landmarks -1 — `_level_targets`
+    yields zero positives for it (degenerate box fails both the inside and
+    the scale gate), so the loss reduces to pure score suppression."""
+    img = rng.normal(0.0, 0.15, (size, size, 3)).astype(np.float32)
+    for _ in range(rng.integers(1, distractors + 1)):
+        _paint_blob(img, rng)
+    return (
+        np.clip(img, -1, 1),
+        np.full(4, -1.0, np.float32),
+        np.full((5, 2), -1.0, np.float32),
+    )
+
+
 def synthetic_batches(
-    batch_size: int, size: int = 128, seed: int = 0
+    batch_size: int,
+    size: int = 128,
+    seed: int = 0,
+    neg_frac: float = 0.0,
+    distractors: int = 0,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     rng = np.random.default_rng(seed)
     while True:
-        imgs, boxes, lms = zip(*(render_face_scene(rng, size) for _ in range(batch_size)))
+        scenes = [
+            render_negative_scene(rng, size)
+            if rng.uniform() < neg_frac
+            else render_face_scene(rng, size, distractors)
+            for _ in range(batch_size)
+        ]
+        imgs, boxes, lms = zip(*scenes)
         yield np.stack(imgs), np.stack(boxes), np.stack(lms)
+
+
+# ---------------------------------------------------------------------------
+# held-out evaluation (VERDICT r2 #3: quantified recall for the fallback)
+# ---------------------------------------------------------------------------
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+    area = lambda r: max(r[2] - r[0], 0.0) * max(r[3] - r[1], 0.0)
+    union = area(a) + area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def evaluate_detector(
+    detect_fn,
+    *,
+    n_scenes: int = 256,
+    size: int = 128,
+    seed: int = 9999,
+    iou_thresh: float = 0.5,
+    distractors: int = 2,
+    batch: int = 32,
+) -> dict[str, float]:
+    """Held-out benchmark: recall/IoU/landmark error on fresh face scenes
+    (with distractor blobs) + false-positive rate on face-free scenes.
+
+    `detect_fn(images) -> FaceDetections` — the same closure contract the
+    GuidanceStack uses, so the number measured here is the number the
+    training loop sees. recall counts a lane only when the detector fires
+    AND the box overlaps ground truth at >= iou_thresh (a confident box on
+    a distractor is a miss, not a hit).
+    """
+    rng = np.random.default_rng(seed)
+    hits = fired = 0
+    ious: list[float] = []
+    lm_errs: list[float] = []
+    fp = 0
+    for _ in range(max(n_scenes // batch, 1)):
+        pos = [render_face_scene(rng, size, distractors) for _ in range(batch)]
+        imgs, boxes, lms = (np.stack(z) for z in zip(*pos))
+        det = detect_fn(jnp.asarray(imgs))
+        ind = np.asarray(det.indicators)
+        got_b = np.asarray(det.bboxes)
+        got_l = np.asarray(det.landmarks)
+        for i in range(batch):
+            if not ind[i]:
+                continue
+            fired += 1
+            iou = _iou(got_b[i], boxes[i])
+            if iou >= iou_thresh:
+                hits += 1
+                ious.append(iou)
+                scale = (boxes[i, 2] - boxes[i, 0]) / 104.0  # vs 112-template
+                err = np.linalg.norm(got_l[i] - lms[i], axis=-1).mean()
+                lm_errs.append(float(err / max(scale, 1e-6)))
+
+        neg = [render_negative_scene(rng, size) for _ in range(batch)]
+        nimgs = np.stack([z[0] for z in neg])
+        ndet = detect_fn(jnp.asarray(nimgs))
+        fp += int(np.asarray(ndet.indicators).sum())
+
+    n = (n_scenes // batch) * batch
+    return {
+        "n_scenes": float(n),
+        "recall": hits / n,
+        "det_rate": fired / n,
+        "fp_rate": fp / n,
+        "mean_iou": float(np.mean(ious)) if ious else 0.0,
+        # mean landmark error in 112-aligned-template pixel units
+        "lm_err_112px": float(np.mean(lm_errs)) if lm_errs else -1.0,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -79,26 +79,52 @@ def get_face(
     return analyze_faces(images, detect_fn(images), **kwargs)
 
 
+def merge_detections(a: FaceDetections, b: FaceDetections) -> FaceDetections:
+    """Lanes `a` missed are filled from `b` (reference two-stage semantics:
+    dlib results are only consulted where insightface found nothing,
+    exp-1:1203-1213)."""
+    use_b = ~a.indicators
+    pick = lambda x, y: jnp.where(
+        use_b.reshape((-1,) + (1,) * (x.ndim - 1)), y, x
+    )
+    return FaceDetections(
+        indicators=a.indicators | b.indicators,
+        bboxes=pick(a.bboxes, b.bboxes),
+        landmarks=pick(a.landmarks, b.landmarks),
+        scores=pick(a.scores, b.scores),
+    )
+
+
 def compose_detectors(
     primary: Callable[[jax.Array], FaceDetections],
     fallback: Callable[[jax.Array], FaceDetections],
 ) -> Callable[[jax.Array], FaceDetections]:
     """Two-stage detection parity (exp-1:1192-1215): lanes the primary
     misses are filled from the fallback. Both run batched (the fallback's
-    cost is amortised; no host round-trip)."""
+    cost is amortised; no host round-trip). Closure style — weights baked
+    in; for the GuidanceStack's threaded-params style use
+    `compose_detect_fns`."""
 
     def detect(images: jax.Array) -> FaceDetections:
-        a = primary(images)
-        b = fallback(images)
-        use_b = ~a.indicators
-        pick = lambda x, y: jnp.where(
-            use_b.reshape((-1,) + (1,) * (x.ndim - 1)), y, x
-        )
-        return FaceDetections(
-            indicators=a.indicators | b.indicators,
-            bboxes=pick(a.bboxes, b.bboxes),
-            landmarks=pick(a.landmarks, b.landmarks),
-            scores=pick(a.scores, b.scores),
+        return merge_detections(primary(images), fallback(images))
+
+    return detect
+
+
+def compose_detect_fns(
+    primary: Callable[..., FaceDetections],
+    fallback: Callable[..., FaceDetections],
+) -> Callable[..., FaceDetections]:
+    """Threaded-params two-stage detector: `detect(params, images)` where
+    `params = {"primary": ..., "fallback": ...}` — this is what
+    model_zoo.load_guidance_stack stores under stack.params["detector"], so
+    both weight trees ride through jit as arguments like every other frozen
+    model."""
+
+    def detect(params, images: jax.Array) -> FaceDetections:
+        return merge_detections(
+            primary(params["primary"], images),
+            fallback(params["fallback"], images),
         )
 
     return detect

@@ -30,6 +30,11 @@ class DetTrainConfig:
     tiny: bool = False
     out: str = "outputs/detector.npz"
     log_every: int = 100
+    # hard negatives: face-free scenes + non-face distractor blobs teach
+    # score suppression, which is what makes the held-out fp_rate honest
+    neg_frac: float = 0.25
+    distractors: int = 2
+    eval_scenes: int = 256  # 0 disables the held-out eval
 
 
 def main(cfg: DetTrainConfig):
@@ -52,7 +57,10 @@ def main(cfg: DetTrainConfig):
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss, aux
 
-    batches = synthetic_batches(cfg.batch_size, cfg.image_size, cfg.seed)
+    batches = synthetic_batches(
+        cfg.batch_size, cfg.image_size, cfg.seed,
+        neg_frac=cfg.neg_frac, distractors=cfg.distractors,
+    )
     for i in range(cfg.steps):
         imgs, boxes, lms = next(batches)
         params, opt, loss, aux = step(
@@ -66,6 +74,20 @@ def main(cfg: DetTrainConfig):
             )
     save_adapters(cfg.out, params)
     print(f"[train-detector] saved -> {cfg.out}")
+    if cfg.eval_scenes:
+        from fairdiff.guidance.detector_train import evaluate_detector
+        from fairdiff.models.face_detector import make_detect_fn
+
+        detect = jax.jit(make_detect_fn(net, params, det_cfg))
+        metrics = evaluate_detector(
+            detect, n_scenes=cfg.eval_scenes, size=cfg.image_size,
+            seed=cfg.seed + 777, distractors=cfg.distractors,
+        )
+        print(
+            "[train-detector] held-out "
+            + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        )
+        return params, metrics
     return params
 
 

@@ -73,22 +73,38 @@ def load_guidance_stack(
     # frozen weights live in `dtype` (bf16 default — reference fp16 cast).
     params: dict = {}
 
+    # Two-stage detection parity (exp-1:1192-1215 insightface + dlib
+    # fallback): SCRFD (exact reference weights via the onnx bridge) is the
+    # primary; the first-party FaceDetectorNet fills lanes SCRFD misses.
+    # With only one weight file present, that detector runs alone.
+    onnx_fn = net_fn = None
     if (d / "det_10g.onnx").exists():
         from fairdiff.io.onnx_bridge import load_scrfd
 
-        detect_fn, det_params = load_scrfd(str(d / "det_10g.onnx"))
+        onnx_fn, onnx_params = load_scrfd(str(d / "det_10g.onnx"))
         # keep the onnx graph in its stored f32: the reference executes
         # this detector in fp32 through onnxruntime (exp-1:938-945), the
         # weights are ~17MB, and box-regression heads are precision-
         # sensitive; the bridge runs whatever dtype the tree carries
-        params["detector"] = det_params
-    else:
+    if (d / "detector.npz").exists():
         det_cfg = DetectorConfig()
         det_net = FaceDetectorNet(det_cfg, dtype=dtype)
-        params["detector"] = cast_floats(
-            load_adapters(d / "detector.npz"), dtype
+        net_params = cast_floats(load_adapters(d / "detector.npz"), dtype)
+        net_fn = make_detect_fn(det_net, det_cfg)
+    if onnx_fn and net_fn:
+        from fairdiff.guidance.faces import compose_detect_fns
+
+        detect_fn = compose_detect_fns(onnx_fn, net_fn)
+        params["detector"] = {"primary": onnx_params, "fallback": net_params}
+    elif onnx_fn:
+        detect_fn, params["detector"] = onnx_fn, onnx_params
+    elif net_fn:
+        detect_fn, params["detector"] = net_fn, net_params
+    else:
+        raise FileNotFoundError(
+            f"no detector weights in {d}: need det_10g.onnx (reference "
+            "SCRFD) and/or detector.npz (tools/train_detector output)"
         )
-        detect_fn = make_detect_fn(det_net, det_cfg)
 
     mnv3 = MobileNetV3Large(num_classes=n_logits, dtype=dtype)
     params["classifier"] = cast_floats(load_adapters(d / "classifier.npz"), dtype)

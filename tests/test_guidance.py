@@ -162,3 +162,51 @@ def test_face_embeddings_flip_sum():
     e = face_embeddings(backbone, chips)
     norms = jnp.linalg.norm(e, axis=-1)
     np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-5)
+
+
+def test_compose_detect_fns_threaded():
+    """model_zoo two-stage wiring: params={'primary','fallback'} threads
+    each weight tree to its detector; the fallback fills ONLY missed lanes
+    (exp-1:1203-1213 — dlib consulted only where insightface found
+    nothing), and each detector provably received its own params."""
+    from fairdiff.guidance.faces import compose_detect_fns
+
+    def primary(p, im):
+        d = _oracle_detection(2, [True, False])
+        return d._replace(bboxes=d.bboxes + p["shift"])
+
+    def fallback(p, im):
+        return FaceDetections(
+            indicators=jnp.asarray([True, True]),
+            bboxes=jnp.full((2, 4), 7.0) + p["shift"],
+            landmarks=jnp.zeros((2, 5, 2)),
+            scores=jnp.full((2,), 0.6),
+        )
+
+    detect = compose_detect_fns(primary, fallback)
+    params = {"primary": {"shift": 1.0}, "fallback": {"shift": 2.0}}
+    det = jax.jit(detect)(params, jnp.zeros((2, 8, 8, 3)))
+    assert bool(det.indicators.all())
+    # lane 0: primary box (16..48) + primary shift, NOT overwritten
+    np.testing.assert_allclose(np.asarray(det.bboxes[0]), [17, 17, 49, 49])
+    # lane 1: recovered from fallback with the fallback's params
+    np.testing.assert_allclose(np.asarray(det.bboxes[1]), 9.0)
+    np.testing.assert_allclose(np.asarray(det.scores[1]), 0.6)
+
+
+def test_composed_recovery_through_analysis():
+    """End-to-end lane recovery: a primary that misses every face plus a
+    trained-style fallback yields live analysis lanes (chips not -1),
+    while a primary-only stack would have produced dead lanes."""
+    from fairdiff.guidance.faces import compose_detect_fns
+
+    miss_all = lambda p, im: _oracle_detection(2, [False, False])
+    oracle = lambda p, im: _oracle_detection(2, [True, True])
+    detect = compose_detect_fns(miss_all, oracle)
+    imgs = jax.random.uniform(
+        jax.random.key(0), (2, 64, 64, 3), minval=-1, maxval=1
+    )
+    fa = analyze_faces(imgs, detect({"primary": {}, "fallback": {}}, imgs),
+                       chip_size=32)
+    assert bool(fa.indicators.all())
+    assert float(jnp.abs(fa.chips + 1.0).max()) > 0.1  # not the -1 fill

@@ -374,3 +374,47 @@ def test_convergence_demo_cli(tmp_path):
     rec = json.loads(lines[0])
     assert "gender_gap_abs" in rec and "train_loss_fair" in rec
     assert (out / "curves" / "gender_gap_abs.png").exists()
+
+
+def test_guidance_zoo_two_stage_detector(tmp_path):
+    """With BOTH det_10g.onnx and detector.npz present the zoo composes
+    SCRFD-primary + FaceDetectorNet-fallback (exp-1:1192-1215 two-stage
+    parity): params['detector'] carries both trees and detection runs
+    under jit end to end."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from test_onnx_bridge import _scrfd_like_model
+
+    from fairdiff.io.adapters_io import save_adapters
+    from fairdiff.models.face_detector import DetectorConfig, FaceDetectorNet
+    from fairdiff.training.model_zoo import load_guidance_stack
+
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    (zoo / "det_10g.onnx").write_bytes(_scrfd_like_model())
+    det_net = FaceDetectorNet(DetectorConfig())
+    net_params = det_net.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3))
+    )["params"]
+    save_adapters(zoo / "detector.npz", net_params)
+    save_adapters(zoo / "classifier.npz", {"w": np.zeros((1,), np.float32)})
+
+    stack = load_guidance_stack(zoo, ("gender",))
+    assert set(stack.params["detector"]) == {"primary", "fallback"}
+    imgs = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (2, 64, 64, 3)), jnp.float32
+    )
+    det = jax.jit(stack.detect_fn)(stack.params["detector"], imgs)
+    assert det.indicators.shape == (2,)
+    assert det.bboxes.shape == (2, 4)
+
+    # missing both detector files is a hard error, not a silent stack
+    import pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    save_adapters(empty / "classifier.npz", {"w": np.zeros((1,), np.float32)})
+    with pytest.raises(FileNotFoundError):
+        load_guidance_stack(empty, ("gender",))
