@@ -1,6 +1,7 @@
 """LoRA / EMA / soft-prefix adapter tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,7 @@ def test_lora_grads_flow_and_change_output():
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_lora_unet_targets():
     cfg = UNetConfig.tiny()
     model = UNet2DCondition(cfg)

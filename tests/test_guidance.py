@@ -2,6 +2,7 @@
 contract, attribute heads, face-feature DB, two-stage composition."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ from fairdiff.models.face_detector import (
 )
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_detector_shapes_and_decode():
     cfg = DetectorConfig.tiny()
     net = FaceDetectorNet(cfg)

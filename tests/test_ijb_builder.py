@@ -106,6 +106,7 @@ def test_item_dataset(tmp_path):
     assert img.shape == (8, 8, 3) and idx == 0
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_builder_backbones_and_heads(tmp_path):
     net = build_backbone({"type": "sfnet4", "out_channel": 64, "in_size": 32})
     params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]

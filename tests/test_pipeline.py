@@ -20,6 +20,7 @@ def _setup():
     return sd, params, noises, cond, uncond
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_generate_shapes_and_determinism():
     sd, params, noises, cond, uncond = _setup()
     gen = jax.jit(
@@ -32,6 +33,7 @@ def test_generate_shapes_and_determinism():
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2))
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_generate_with_lora_and_grad():
     sd, params, noises, cond, uncond = _setup()
     unet_lora = lora_lib.init_lora(
@@ -55,6 +57,7 @@ def test_generate_with_lora_and_grad():
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_generate_data_parallel():
     sd, params, _, cond, uncond = _setup()
     mesh = create_mesh()
@@ -98,6 +101,7 @@ def test_eos_attention_mask_derivation():
     )
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_unet_context_mask_excludes_pad_positions():
     """With a key mask, UNet cross-attention must be invariant to the
     context content at masked positions — the static-77 equivalent of the
@@ -124,6 +128,7 @@ def test_unet_context_mask_excludes_pad_positions():
     assert float(jnp.abs(out1 - out3).max()) > 1e-6
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_generate_matches_independent_torch_composition():
     """End-to-end generate() golden vs an INDEPENDENT composition with the
     same converted weights: HF transformers CLIPTextModel (context) ->

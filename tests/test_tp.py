@@ -77,6 +77,7 @@ def test_head_divisibility_guard():
     validate_heads(SDConfig.sd15(), 4)
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_unet_forward_tp_matches_replicated():
     """Sharding attention params over ("data"=4, "model"=2) must not change
     the UNet's output (XLA inserts the head-shard psums)."""

@@ -19,6 +19,7 @@ from fairdiff.models.autoencoder_kl import AutoencoderKL, VAEConfig
 from fairdiff.models.unet2d import UNet2DCondition, UNetConfig, timestep_embedding
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_unet_forward_shapes_and_jit():
     cfg = UNetConfig.tiny()
     model = UNet2DCondition(cfg)
@@ -31,6 +32,7 @@ def test_unet_forward_shapes_and_jit():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow  # compile-heavy (VERDICT r2 #6): fast subset skips
 def test_unet_remat_grad():
     cfg = UNetConfig.tiny()
     model = UNet2DCondition(cfg, remat=True)
