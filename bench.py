@@ -34,12 +34,48 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bf16_tree(t):
-    """Cast f32 leaves to bf16 (the reference's fp16 inference cast)."""
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
-    )
+def fill_tree(sds_tree, value: float = 0.02, bf16: bool = False):
+    """Materialize a param tree of filled arrays on device in ONE tiny
+    compiled program (broadcasts only — compiles in seconds, ships no data
+    through the tunnel).
+
+    The bench runs the guidance/SD models at random weights anyway (weights
+    don't change the math cost); flax `.init()` of the billion-param zoo is
+    the WRONG way to get them on this remote backend: each init is its own
+    giant RNG-generation HLO whose remote compile takes minutes — measured
+    ~23 min of `build()` wall before round 3 replaced it with this
+    (the actual round-2 bench-timeout dominator, bigger than the train
+    programs themselves).
+
+    Fill scheme: matrix-like leaves (kernels/embeddings, ndim>=2) get ZERO,
+    vector/scalar leaves (biases, norm scales) get a small constant. A
+    uniform nonzero fill explodes: a 3x3x320 conv at weight 0.02 multiplies
+    activation magnitude ~57x per layer -> inf -> GroupNorm emits NaN ->
+    NaN images -> zero detections (measured: loss=nan, face_rate=0.0).
+    With zero kernels every layer's output equals its (nonzero) bias, so
+    activations stay bounded and finite end-to-end. The executed program
+    and its cost are identical — TPU dense ops have no value-dependent
+    fast paths, and these are runtime jit arguments XLA cannot fold.
+    """
+    def mk(s):
+        dt = s.dtype
+        if bf16 and dt == jnp.float32:
+            dt = jnp.bfloat16
+        if not jnp.issubdtype(dt, jnp.floating):
+            return jnp.zeros(s.shape, dt)
+        if s.ndim >= 2:
+            return jnp.zeros(s.shape, dt)
+        return jnp.full(s.shape, value, dt)
+
+    return jax.jit(
+        lambda: jax.tree_util.tree_map(mk, sds_tree)
+    )()
+
+
+def fake_params(model, *init_args, bf16: bool = True):
+    """eval_shape the flax init (host-only trace) + constant fill."""
+    sds = jax.eval_shape(lambda: model.init(jax.random.key(0), *init_args))
+    return fill_tree(sds, bf16=bf16)["params"]
 
 # reruns reuse compiled programs (first full compile is ~13 min)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -78,27 +114,42 @@ def build(quick: bool):
     # backward saves exactly one step's UNet activations; inner per-block
     # remat would recompute the UNet a second time for no memory win.
     sd = StableDiffusion(SDConfig.sd15(), remat=False)
-    # frozen weights in bf16 (the reference's fp16 inference cast,
-    # exp-1:722-794): halves HBM-resident arguments; LoRA stays f32
-    bf16 = bf16_tree
-    params = bf16(sd.init_params(key))
+    # frozen weights constant-filled in bf16 (the reference's fp16
+    # inference cast, exp-1:722-794; see fill_tree on why not .init())
+    params = fill_tree(jax.eval_shape(sd.init_params, key), bf16=True)
 
     det_cfg = DetectorConfig()
     det_net = FaceDetectorNet(det_cfg, dtype=jnp.bfloat16)
-    det_params = det_net.init(key, jnp.zeros((1, 512, 512, 3)))["params"]
+    det_params = fake_params(det_net, jnp.zeros((1, 512, 512, 3)))
+    # Shape the detector head biases so every lane "detects" a valid face —
+    # the COSTLIEST case (host OT + realism search + masked losses all
+    # active), matching the random-init behavior the r1/r2 chip-seconds
+    # were calibrated on. With zero kernels the head outputs ARE the
+    # biases: cls logit 4.0 puts every anchor above the 0.5 sigmoid
+    # threshold; box distances of 2 stride-units make 4-stride-wide boxes
+    # (largest-area selection then picks a 128px stride-32 box); the kps
+    # bias is a non-degenerate 5-point face pattern (stride units) so the
+    # similarity-transform alignment (jnp.linalg.inv) stays well-posed.
+    det_params["cls"]["bias"] = jnp.full_like(det_params["cls"]["bias"], 4.0)
+    det_params["box"]["bias"] = jnp.full_like(det_params["box"]["bias"], 2.0)
+    kps_pattern = [-0.6, -0.4, 0.6, -0.4, 0.0, 0.2, -0.4, 0.8, 0.4, 0.8]
+    det_params["kps"]["bias"] = jnp.asarray(
+        kps_pattern * det_cfg.num_anchors,
+        det_params["kps"]["bias"].dtype,
+    )
     detect_fn = make_detect_fn(det_net, det_cfg)
 
     mnv3 = MobileNetV3Large(num_classes=80, dtype=jnp.bfloat16)
-    mnv3_params = mnv3.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+    mnv3_params = fake_params(mnv3, jnp.zeros((1, 224, 224, 3)))
 
     clip = CLIPVisionModel(CLIPVisionConfig.vit_h14(), dtype=jnp.bfloat16)
-    clip_params = clip.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+    clip_params = fake_params(clip, jnp.zeros((1, 224, 224, 3)))
 
     dino = DINOv2Model(DINOv2Config.vitb14(), dtype=jnp.bfloat16)
-    dino_params = dino.init(key, jnp.zeros((1, 224, 224, 3)))["params"]
+    dino_params = fake_params(dino, jnp.zeros((1, 224, 224, 3)))
 
     sfnet = SFNet(SFNetConfig.sfnet20(), dtype=jnp.bfloat16)
-    sfnet_params = sfnet.init(key, jnp.zeros((1, 112, 112, 3)))["params"]
+    sfnet_params = fake_params(sfnet, jnp.zeros((1, 112, 112, 3)))
 
     def clip_fn(p, images):
         x = normalize_for_clip(images)
@@ -124,13 +175,12 @@ def build(quick: bool):
         face_embed_fn=lambda p, a: sfnet.apply({"params": p}, a),
         img_size_small=256,
         params={
-            **bf16({
-                "detector": det_params,
-                "classifier": mnv3_params,
-                "clip": clip_params,
-                "dino": dino_params,
-                "face_embed": sfnet_params,
-            }),
+            # already constant-filled in bf16 by fake_params
+            "detector": det_params,
+            "classifier": mnv3_params,
+            "clip": clip_params,
+            "dino": dino_params,
+            "face_embed": sfnet_params,
             "face_db": FaceFeatsDB(db_feats, jnp.zeros(1024, jnp.int32), {}),
         },
     )
@@ -182,8 +232,12 @@ class GenBench:
         )
         self.fn.lower(p_sds, n_sds).compile()
 
-    def run(self):
-        params = bf16_tree(self.sd.init_params(jax.random.key(0)))
+    def run(self, params=None):
+        if params is None:  # standalone --gen invocation
+            params = fill_tree(
+                jax.eval_shape(self.sd.init_params, jax.random.key(0)),
+                bf16=True,
+            )
         noises = jax.random.normal(
             jax.random.key(1), self.sd.latent_shape(self.N)
         )
@@ -403,7 +457,9 @@ def main():
                 file=sys.stderr,
             )
         else:
-            gb.run()
+            # reuse the bf16 SD params already on device (same tree the
+            # trainer used) — a second giant init would recompile minutes
+            gb.run(params)
 
 
 if __name__ == "__main__":
