@@ -279,6 +279,29 @@ def main():
         return
     from fairdiff.training.debias import DebiasTrainer
 
+    # Kick off the gen-metric AOT compile FIRST: it is device-memory-free
+    # (ShapeDtypeStructs only) and the remote compile service builds it in
+    # parallel with the train warmup, so by the time the train line prints
+    # the gen program is ready to execute. Started after the train line
+    # (the r2 design) it only ever saw the budget's last ~70s and was
+    # always skipped.
+    gen = None
+    if not quick and "--train-only" not in sys.argv:
+        import threading
+
+        gen = {"done": threading.Event(), "err": []}
+
+        def _gen_compile():
+            try:
+                gen["gb"] = GenBench()
+                gen["gb"].aot_compile()
+            except Exception as e:  # noqa: BLE001
+                gen["err"].append(e)
+            finally:
+                gen["done"].set()
+
+        threading.Thread(target=_gen_compile, daemon=True).start()
+
     sd, params, guidance, cfg = build(quick)
     trainer = DebiasTrainer(sd, params, guidance, cfg)
     state = trainer.init_state(jax.random.key(1))
@@ -443,24 +466,9 @@ def main():
     # weak-3) — but only inside the wall budget: the gen program compiles
     # on a background thread (AOT from ShapeDtypeStructs, no device
     # memory) and is skipped, train line intact, if it can't make it
-    if not quick and "--train-only" not in sys.argv:
-        import threading
-
-        gb = GenBench()
-        done = threading.Event()
-        err: list = []
-
-        def _compile():
-            try:
-                gb.aot_compile()
-            except Exception as e:  # noqa: BLE001
-                err.append(e)
-            finally:
-                done.set()
-
-        threading.Thread(target=_compile, daemon=True).start()
+    if gen is not None:
         remaining = budget - (time.time() - t_start) - 45.0
-        if not done.wait(timeout=max(remaining, 5.0)):
+        if not gen["done"].wait(timeout=max(remaining, 5.0)):
             print(
                 f"# gen metric skipped: compile not done with "
                 f"{remaining:.0f}s left of FAIRDIFF_BENCH_BUDGET_S={budget:.0f}",
@@ -468,15 +476,15 @@ def main():
             )
             sys.stdout.flush()
             os._exit(0)  # daemon compile thread would block a clean exit
-        if err:
+        if gen["err"]:
             print(
-                f"# gen metric skipped: compile failed ({err[0]!r})",
+                f"# gen metric skipped: compile failed ({gen['err'][0]!r})",
                 file=sys.stderr,
             )
         else:
             # reuse the bf16 SD params already on device (same tree the
             # trainer used) — a second giant init would recompile minutes
-            gb.run(params)
+            gen["gb"].run(params)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ are TPU-tile friendly.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -85,11 +86,25 @@ def dot_product_attention(
     # that is ~80MB/layer (~1.3GB across SD-1.5), which OOMs the
     # one-step pair VJP on 16G. Recomputing this softmax in the VJP is
     # ~2% of block FLOPs; no-grad paths are unaffected by checkpoint.
-    return _xla_attention(q, k, v, bias)
+    #
+    # Heads are merged at the checkpoint boundary: jax.checkpoint saves its
+    # INPUTS, and a [B,S,H,D] array tile-pads D to the 128-lane boundary in
+    # HBM (3.2x for SD-1.5's 40-wide heads, plus 2x sublane padding for
+    # H=8 in bf16 — see PERF.md round 3). The merged [B,S,H*D] residual is
+    # lane-aligned; the split back to heads happens inside the checkpointed
+    # region, where it is a transient temp.
+    H = q.shape[2]
+    merge = lambda x: x.reshape(x.shape[0], x.shape[1], -1)
+    return _xla_attention_merged(merge(q), merge(k), merge(v), bias, H)
 
 
-@jax.checkpoint
-def _xla_attention(q, k, v, bias):
+@functools.partial(jax.checkpoint, static_argnums=(4,))
+def _xla_attention_merged(q, k, v, bias, n_heads):
+    split = lambda x: x.reshape(*x.shape[:2], n_heads, -1)
+    return _xla_attention(split(q), split(k), split(v), bias)
+
+
+def _xla_attention(q, k, v, bias=None):
     orig_dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     # preferred_element_type: the MXU accumulates bf16 products in fp32

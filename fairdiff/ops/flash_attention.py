@@ -476,6 +476,17 @@ def _fwd(q, k, v):
     return _fwd_sharded(q, k, v) if _partitioned() else _fwd_impl(q, k, v)
 
 
+def _compact(x):
+    """[B,S,H,D] -> [B,S,H*D]: the minor-dim-D layout tile-pads D to the
+    128-lane boundary in HBM (3.2x for SD-1.5's 40-wide heads — confirmed
+    by a round-3 OOM dump, PERF.md); the merged H*D minor dim (320/640/1280)
+    is lane-aligned and stores compact. Used ONLY for the custom_vjp
+    residuals, which are held simultaneously for every attention layer of a
+    grad program — the padded forms inside the kernels are transient temps."""
+    B, S, H, D = x.shape
+    return x.reshape(B, S, H * D)
+
+
 @jax.custom_vjp
 def flash_attention(q, k, v):
     return _fwd(q, k, v)
@@ -483,19 +494,34 @@ def flash_attention(q, k, v):
 
 def _fa_fwd(q, k, v):
     if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "recompute":
-        return _fwd(q, k, v), (q, k, v, None, None)
+        return _fwd(q, k, v), (_compact(q), _compact(k), _compact(v),
+                               None, None)
     o, lse = (
         _fwd_lse_sharded(q, k, v) if _partitioned() else _fwd_lse_impl(q, k, v)
     )
-    return o, (q, k, v, o, lse)
+    # lse lanes are identical per row (broadcast stat layout): save one lane
+    # ([B,H,s_pad] f32, 128x smaller than the kernel's output buffer). The
+    # residual set per 4096-token self-attention layer at CFG batch 16 drops
+    # from 4x128M (padded q/k/v/o) + 256M (lse) to 4x40M + 2M.
+    return o, (_compact(q), _compact(k), _compact(v), _compact(o),
+               lse[..., 0])
 
 
 def _fa_bwd(res, g):
-    q, k, v, o, lse = res
-    if lse is None:
+    qc, kc, vc, oc, lse3 = res
+    B, S, H, D = g.shape
+    T = kc.shape[1]
+
+    def expand(x, n):
+        return x.reshape(B, n, H, D)
+
+    q, k, v = expand(qc, S), expand(kc, T), expand(vc, T)
+    if lse3 is None:
         # XLA-recompute fallback (materialises the [S,T] score matrix)
         _, vjp = jax.vjp(_xla_attention, q, k, v)
         return vjp(g)
+    o = expand(oc, S)
+    lse = jnp.broadcast_to(lse3[..., None], (*lse3.shape, LANES))
     if _partitioned():
         return _bwd_sharded(q, k, v, o, lse, g)
     return _bwd_impl(q, k, v, o, lse, g)
