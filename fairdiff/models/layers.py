@@ -87,15 +87,21 @@ def dot_product_attention(
     # one-step pair VJP on 16G. Recomputing this softmax in the VJP is
     # ~2% of block FLOPs; no-grad paths are unaffected by checkpoint.
     #
-    # Heads are merged at the checkpoint boundary: jax.checkpoint saves its
-    # INPUTS, and a [B,S,H,D] array tile-pads D to the 128-lane boundary in
-    # HBM (3.2x for SD-1.5's 40-wide heads, plus 2x sublane padding for
-    # H=8 in bf16 — see PERF.md round 3). The merged [B,S,H*D] residual is
-    # lane-aligned; the split back to heads happens inside the checkpointed
-    # region, where it is a transient temp.
-    H = q.shape[2]
-    merge = lambda x: x.reshape(x.shape[0], x.shape[1], -1)
-    return _xla_attention_merged(merge(q), merge(k), merge(v), bias, H)
+    # FAIRDIFF_COMPACT_RESIDUALS=1 additionally merges heads at the
+    # checkpoint boundary: jax.checkpoint saves its INPUTS, and a
+    # [B,S,H,D] array tile-pads D to the 128-lane boundary in HBM (3.2x
+    # for SD-1.5's 40-wide heads — see PERF.md round 3). The merged
+    # [B,S,H*D] residual is lane-aligned; the split back to heads happens
+    # inside the checkpointed region, where it is a transient temp. A
+    # memory lever, default OFF (see ops.flash_attention
+    # .compact_residuals_enabled for the measured tradeoff).
+    from fairdiff.ops.flash_attention import compact_residuals_enabled
+
+    if compact_residuals_enabled():
+        H = q.shape[2]
+        merge = lambda x: x.reshape(x.shape[0], x.shape[1], -1)
+        return _xla_attention_merged(merge(q), merge(k), merge(v), bias, H)
+    return _xla_attention_ckpt(q, k, v, bias)
 
 
 @functools.partial(jax.checkpoint, static_argnums=(4,))
@@ -120,6 +126,9 @@ def _xla_attention(q, k, v, bias=None):
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
     return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+_xla_attention_ckpt = jax.checkpoint(_xla_attention)
 
 
 class MultiHeadAttention(nn.Module):

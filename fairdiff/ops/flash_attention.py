@@ -476,6 +476,22 @@ def _fwd(q, k, v):
     return _fwd_sharded(q, k, v) if _partitioned() else _fwd_impl(q, k, v)
 
 
+def compact_residuals_enabled() -> bool:
+    """FAIRDIFF_COMPACT_RESIDUALS=1 stores custom_vjp residuals in the
+    lane-aligned [B,S,H*D] layout (and one LSE lane per row) instead of the
+    3.2x-tile-padded [B,S,H,40] forms — a MEMORY lever, default OFF.
+
+    Measured round 3 (PERF.md): the compact layout cuts the per-layer
+    residual set from 4x128M+256M to 4x40M+2M at CFG batch 16, but the
+    relayout copies cost ~0.9 s/step (+2.3%) on the headline bench, and
+    the freed HBM did NOT unlock FAIRDIFF_PAIR_LANES=12 (the binding
+    allocation at p=12 is XLA-chosen saved intermediates, not these
+    residuals). Speed-optimal at the production working point is OFF;
+    flip ON for memory-tighter configs (larger lanes x smaller model,
+    longer sequences) before degrading lane count."""
+    return os.environ.get("FAIRDIFF_COMPACT_RESIDUALS", "0") == "1"
+
+
 def _compact(x):
     """[B,S,H,D] -> [B,S,H*D]: the minor-dim-D layout tile-pads D to the
     128-lane boundary in HBM (3.2x for SD-1.5's 40-wide heads — confirmed
@@ -493,35 +509,39 @@ def flash_attention(q, k, v):
 
 
 def _fa_fwd(q, k, v):
+    pack = _compact if compact_residuals_enabled() else (lambda x: x)
     if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "recompute":
-        return _fwd(q, k, v), (_compact(q), _compact(k), _compact(v),
-                               None, None)
+        return _fwd(q, k, v), (pack(q), pack(k), pack(v), None, None)
     o, lse = (
         _fwd_lse_sharded(q, k, v) if _partitioned() else _fwd_lse_impl(q, k, v)
     )
-    # lse lanes are identical per row (broadcast stat layout): save one lane
-    # ([B,H,s_pad] f32, 128x smaller than the kernel's output buffer). The
-    # residual set per 4096-token self-attention layer at CFG batch 16 drops
-    # from 4x128M (padded q/k/v/o) + 256M (lse) to 4x40M + 2M.
-    return o, (_compact(q), _compact(k), _compact(v), _compact(o),
-               lse[..., 0])
+    # Compact mode saves one LSE lane per row (lanes are identical in the
+    # broadcast stat layout): [B,H,s_pad] f32, 128x smaller than the
+    # kernel's output buffer.
+    return o, (pack(q), pack(k), pack(v), pack(o),
+               lse[..., 0] if compact_residuals_enabled() else lse)
 
 
 def _fa_bwd(res, g):
-    qc, kc, vc, oc, lse3 = res
+    qr, kr, vr, orr, lser = res
     B, S, H, D = g.shape
-    T = kc.shape[1]
+    T = kr.shape[1]
 
     def expand(x, n):
-        return x.reshape(B, n, H, D)
+        # compact [B,n,H*D] residuals -> the kernels' [B,n,H,D]
+        return x.reshape(B, n, H, D) if x is not None and x.ndim == 3 else x
 
-    q, k, v = expand(qc, S), expand(kc, T), expand(vc, T)
-    if lse3 is None:
+    q, k, v = expand(qr, S), expand(kr, T), expand(vr, T)
+    if lser is None:
         # XLA-recompute fallback (materialises the [S,T] score matrix)
         _, vjp = jax.vjp(_xla_attention, q, k, v)
         return vjp(g)
-    o = expand(oc, S)
-    lse = jnp.broadcast_to(lse3[..., None], (*lse3.shape, LANES))
+    o = expand(orr, S)
+    lse = (
+        jnp.broadcast_to(lser[..., None], (*lser.shape, LANES))
+        if lser.ndim == 3
+        else lser
+    )
     if _partitioned():
         return _bwd_sharded(q, k, v, o, lse, g)
     return _bwd_impl(q, k, v, o, lse, g)

@@ -165,3 +165,57 @@ def test_flash_sharded_over_batch_and_heads(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(rr), atol=5e-5, err_msg=f"d{name}"
         )
+
+
+def test_flash_grad_compact_residuals(monkeypatch):
+    """FAIRDIFF_COMPACT_RESIDUALS=1 (lane-aligned [B,S,H*D] residuals +
+    single-lane LSE) must produce identical gradients to the default
+    padded-residual mode — the layout is an HBM storage choice only."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 600, 2, 40)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 300, 2, 40)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 300, 2, 40)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 600, 2, 40)).astype(np.float32))
+
+    def loss(a, b, c):
+        return (fa.flash_attention(a, b, c) * w).sum()
+
+    monkeypatch.delenv("FAIRDIFF_COMPACT_RESIDUALS", raising=False)
+    base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("FAIRDIFF_COMPACT_RESIDUALS", "1")
+    compact = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gb, gc, name in zip(base, compact, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(gc), atol=1e-6, err_msg=f"d{name}"
+        )
+
+
+def test_xla_attention_compact_checkpoint_grads_match(monkeypatch):
+    """layers.dot_product_attention: the merged-head checkpoint boundary
+    (compact mode) is gradient-identical to the plain checkpointed path."""
+    from fairdiff.models import layers
+
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(2, 64, 2, 40)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 77, 2, 40)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 77, 2, 40)).astype(np.float32))
+
+    def loss(a, b, c):
+        return (layers.dot_product_attention(a, b, c) ** 2).sum()
+
+    monkeypatch.delenv("FAIRDIFF_COMPACT_RESIDUALS", raising=False)
+    base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("FAIRDIFF_COMPACT_RESIDUALS", "1")
+    compact = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gb, gc, name in zip(base, compact, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(gc), rtol=1e-6, err_msg=f"d{name}"
+        )
