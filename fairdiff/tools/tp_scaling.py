@@ -122,7 +122,10 @@ def unet_vjp_sweep(cfg: TPScalingConfig) -> list[dict]:
             b = 2 * p  # CFG doubling
             lat2 = jax.ShapeDtypeStruct((b, s, s, 4), jnp.float32)
             ctx = jax.ShapeDtypeStruct((b, S, D), jnp.float32)
-            cot = jax.ShapeDtypeStruct((b, s, s, 4), jnp.float32)
+            # cotangent dtype must match the model's output dtype (bf16
+            # UNet -> bf16 eps); derive it instead of assuming f32
+            out_sds = jax.eval_shape(step_eps, unet_sds, lora_sds, lat2, ctx)
+            cot = jax.ShapeDtypeStruct(out_sds.shape, out_sds.dtype)
             batch_sh = sh(P("data"))
             jitted = jax.jit(
                 vjp_all,
@@ -166,8 +169,17 @@ def trainer_pair_sweep(cfg: TPScalingConfig) -> list[dict]:
     cond = jnp.full((1, S), v - 1, jnp.int32).at[0, 0].set(0)
     uncond = jnp.full((1, S), v - 1, jnp.int32).at[0, 0].set(0)
     rows = []
+    n_lanes = dcfg.train_images_per_prompt
     for p in cfg.lanes:
-        jobs = dict_jobs = {
+        if p <= 0 or n_lanes % p:
+            # aot_jobs silently resets a non-divisor p to the default,
+            # which would duplicate an earlier row (measured: p=16 -> p=8)
+            print(json.dumps({
+                "mode": "trainer_pair", "lanes": p,
+                "skipped": f"{p} does not divide {n_lanes} total lanes",
+            }), flush=True)
+            continue
+        dict_jobs = {
             name: (prog, args)
             for name, prog, args in trainer.aot_jobs(
                 state, (cond, uncond), pair_lanes=p
