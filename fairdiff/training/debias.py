@@ -223,7 +223,21 @@ class DebiasTrainer:
                 cfg.num_prefix_tokens, k3,
             )
         opt_state = self.tx.init(adapters)
-        return DebiasState(adapters, opt_state, ema_lib.init_ema(adapters), 0)
+        state = DebiasState(adapters, opt_state, ema_lib.init_ema(adapters), 0)
+        if self.mesh is not None:
+            # commit the trainable state replicated on the mesh — the SAME
+            # sharding _update_fn pins its outputs to, so the step-0 and
+            # step-N programs see identical input shardings (one compile
+            # per program, not two; see _update_fn)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep)
+                if isinstance(x, jax.Array) else x,
+                state,
+            )
+        return state
 
     # ------------------------------------------------------------------
     def _gen_kwargs(self, adapters: Optional[dict]) -> dict:
@@ -746,7 +760,19 @@ class DebiasTrainer:
                 )
                 return new_adapters, new_opt, new_ema, norms
 
-            self._jit_cache["update"] = _JitProgram(jax.jit(fn))
+            # Under a mesh, pin the outputs to the replicated sharding the
+            # initial state is committed with (init_state): without this,
+            # GSPMD is free to pick a different layout for the updated
+            # adapters, and every program that takes adapters as input
+            # recompiles at step 1 (measured: two ~30 s XLA rebuilds on the
+            # 8-device CPU dryrun — the r3 driver-budget blowout's sibling).
+            kw = {}
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                kw["out_shardings"] = (rep, rep, rep, rep)
+            self._jit_cache["update"] = _JitProgram(jax.jit(fn, **kw))
         return self._jit_cache["update"]
 
     # ------------------------------------------------------------------
@@ -918,6 +944,28 @@ class DebiasTrainer:
                         ),
                         npc,
                     )
+                    if getattr(self, "keep_pair_inputs", False):
+                        # inspection hook (set by __graft_entry__'s
+                        # dryrun): the cross-topology grad check re-runs
+                        # ONLY the pair-VJP program on a second mesh with
+                        # these exact inputs instead of a whole second
+                        # trainer (its 5 programs blew the r3 driver
+                        # budget). Holding refs extends buffer lifetimes —
+                        # keep this off in production 16G-HBM runs.
+                        self._last_pair_inputs = {
+                            "adapters": state.adapters, "traj": traj_c,
+                            "ts": ts, "cot": cot_c, "cond": cond_ids,
+                            "uncond": uncond_ids, "n_steps": int(n_steps),
+                            "npc": npc,
+                            # the step's objective data (noises + targets +
+                            # frozen-model baselines): lets the dryrun
+                            # re-evaluate THIS step's exact loss surface at
+                            # the post-update adapters — a deterministic
+                            # descent check that fresh-noise step losses
+                            # (stochastic objective) cannot give
+                            "noises": noises, "targets": targets,
+                            "ori": ori,
+                        }
                     grads = self._pair_grad_fn(n_steps, npc)(
                         state.adapters, traj_c, ts, cot_c,
                         cond_ids, uncond_ids,
