@@ -18,8 +18,10 @@ RESOURCE_EXHAUSTED). Everything here is AOT — `.lower().compile()` +
   --mode trainer_pair  (real TPU): compile the EXACT production pair-VJP
       via DebiasTrainer.aot_jobs(pair_lanes=p) for each p; report HBM
       temp/argument bytes -> the per-lane activation slope and which p
-      fits under a given HBM budget. XLA reports the bytes even for
-      programs that would not fit, so p=12/16 are measurable without an
+      fits under a given HBM budget. Lane counts that do not divide
+      train_images_per_prompt are skipped (recorded as a "skipped" row);
+      for divisors, XLA reports the bytes even for programs that would
+      not fit, so an over-HBM point like p=12 is measurable without an
       OOM crash.
 
   python -m fairdiff.tools.tp_scaling --platform cpu             # CPU sweep
@@ -45,7 +47,10 @@ class TPScalingConfig:
     platform: str = ""  # "cpu" -> virtual device mesh
     num_cpu_devices: int = 8
     mode: str = "unet_vjp"  # unet_vjp | trainer_pair
-    lanes: tuple[int, ...] = (8, 16)
+    # divisors of the production train_images_per_prompt=24 so every
+    # default lane count is measurable in trainer_pair mode (8 fits one
+    # v5e, 12 is the known over-HBM point — PERF.md)
+    lanes: tuple[int, ...] = (4, 8, 12)
     model_axes: tuple[int, ...] = (1, 2)
     tiny: bool = False  # tiny SD config (smoke/tests)
     lora_rank: int = 50
@@ -173,11 +178,15 @@ def trainer_pair_sweep(cfg: TPScalingConfig) -> list[dict]:
     for p in cfg.lanes:
         if p <= 0 or n_lanes % p:
             # aot_jobs silently resets a non-divisor p to the default,
-            # which would duplicate an earlier row (measured: p=16 -> p=8)
-            print(json.dumps({
+            # which would duplicate an earlier row (measured: p=16 -> p=8).
+            # The skip is RECORDED in rows (not just stdout) so a
+            # --json_out file shows the lane was requested-and-skipped;
+            # downstream consumers filter on the presence of "temp_gb".
+            rows.append({
                 "mode": "trainer_pair", "lanes": p,
                 "skipped": f"{p} does not divide {n_lanes} total lanes",
-            }), flush=True)
+            })
+            print(json.dumps(rows[-1]), flush=True)
             continue
         dict_jobs = {
             name: (prog, args)
@@ -199,10 +208,17 @@ def trainer_pair_sweep(cfg: TPScalingConfig) -> list[dict]:
             "compile_s": round(time.time() - t0, 1),
         })
         print(json.dumps(rows[-1]), flush=True)
-    if len(rows) >= 2:
+    measured = [r for r in rows if "temp_gb" in r]
+    if len(measured) < 2:
+        print(json.dumps({
+            "mode": "trainer_pair_fit",
+            "skipped": f"need >=2 measured lane counts for the slope fit, "
+                       f"got {len(measured)} (skipped rows excluded)",
+        }), flush=True)
+    else:
         # per-lane slope from the first/last points (arguments are
         # lane-independent frozen weights; temps scale with lanes)
-        a, b = rows[0], rows[-1]
+        a, b = measured[0], measured[-1]
         slope = (b["temp_gb"] - a["temp_gb"]) / (b["lanes"] - a["lanes"])
         fixed = a["temp_gb"] - slope * a["lanes"] + a["arg_gb"]
         print(json.dumps({
