@@ -1,0 +1,81 @@
+"""Distribution-shift benchmark for a trained fallback face detector.
+
+The same-distribution held-out eval in `tools.train_detector` scores the
+detector on fresh scenes from the renderer it TRAINED on — circular as
+generalisation evidence (docs/DETECTOR.md caveats; VERDICT r3 #5). This
+tool evaluates a saved `detector.npz` on the shifted-scene suite
+(`guidance.detector_train.shifted_scene_fns`): blur, occlusion, scale
+extremes, off-center crops, multi-face, unseen skin tones, low contrast,
+structured backgrounds — each breaking one training-renderer assumption
+while keeping the ground-truth contract.
+
+  python -m fairdiff.tools.eval_detector --weights assets/detector.npz \
+      --n_scenes 256 [--json_out docs/detector_shifts.json]
+
+Reference parity target: the dlib CNN fallback the reference consults on
+SCRFD misses (exp-1-debias-gender/1-main-debias.py:1232-1290).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+
+from fairdiff.guidance.detector_train import (
+    evaluate_detector, shifted_scene_fns,
+)
+from fairdiff.io.adapters_io import load_adapters
+from fairdiff.models.face_detector import (
+    DetectorConfig, FaceDetectorNet, make_detect_fn,
+)
+from fairdiff.utils import config as cfglib
+
+
+@dataclasses.dataclass(frozen=True)
+class DetEvalConfig:
+    platform: str = ""  # jax backend override
+    num_cpu_devices: int = 1
+    weights: str = "assets/detector.npz"
+    image_size: int = 128
+    n_scenes: int = 256
+    seed: int = 777
+    tiny: bool = False
+    json_out: str = ""
+    shifts: str = ""  # comma-separated subset; empty = all
+
+
+def main(cfg: DetEvalConfig) -> dict[str, dict[str, float]]:
+    cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
+    det_cfg = DetectorConfig.tiny() if cfg.tiny else DetectorConfig()
+    net = FaceDetectorNet(det_cfg)
+    params = load_adapters(cfg.weights)
+    detect = jax.jit(make_detect_fn(net, params, det_cfg))
+    _ = detect(jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))
+
+    fns = shifted_scene_fns(cfg.image_size)
+    names = [s for s in cfg.shifts.split(",") if s] or (
+        ["train_dist"] + sorted(fns)
+    )
+    results: dict[str, dict[str, float]] = {}
+    for name in names:
+        scene_fn = None if name == "train_dist" else fns[name]
+        m = evaluate_detector(
+            detect, n_scenes=cfg.n_scenes, size=cfg.image_size,
+            seed=cfg.seed, scene_fn=scene_fn,
+        )
+        results[name] = m
+        print(json.dumps({"shift": name, **{
+            k: round(v, 4) for k, v in m.items()
+        }}), flush=True)
+    if cfg.json_out:
+        with open(cfg.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"[eval-detector] wrote {cfg.json_out}")
+    return results
+
+
+if __name__ == "__main__":
+    main(cfglib.cli_parse(DetEvalConfig))
