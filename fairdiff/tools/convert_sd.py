@@ -19,9 +19,6 @@ import numpy as np
 from fairdiff.io.checkpoints import save_params
 from fairdiff.io.sd_loader import convert_unet, convert_vae
 from fairdiff.io.torch_convert import convert_clip_text
-from fairdiff.models.autoencoder_kl import VAEConfig
-from fairdiff.models.clip_text import CLIPTextConfig
-from fairdiff.models.unet2d import UNetConfig
 from fairdiff.utils import config as cfglib
 
 
@@ -29,6 +26,10 @@ from fairdiff.utils import config as cfglib
 class ConvertConfig:
     sd_dir: str = ""
     out_dir: str = "converted-sd15"
+    # architecture preset the input checkpoint matches: "sd15" (production)
+    # or "tiny" (fixture-scale checkpoints in the same diffusers layout —
+    # lets tests/test_weights_pipeline_e2e.py drive this CLI end-to-end)
+    preset: str = "sd15"
 
 
 def load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
@@ -57,14 +58,17 @@ def load_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
 
 
 def main(cfg: ConvertConfig) -> Path:
+    from fairdiff.sampling.pipeline import SDConfig
+
+    arch = {"sd15": SDConfig.sd15, "tiny": SDConfig.tiny}[cfg.preset]()
     sd_dir = Path(cfg.sd_dir)
     params = {
         "text_encoder": convert_clip_text(
             load_state_dict(sd_dir / "text_encoder"),
-            CLIPTextConfig.sd15().num_hidden_layers,
+            arch.text.num_hidden_layers,
         ),
-        "unet": convert_unet(load_state_dict(sd_dir / "unet"), UNetConfig.sd15()),
-        "vae": convert_vae(load_state_dict(sd_dir / "vae"), VAEConfig.sd15()),
+        "unet": convert_unet(load_state_dict(sd_dir / "unet"), arch.unet),
+        "vae": convert_vae(load_state_dict(sd_dir / "vae"), arch.vae),
     }
     out = Path(cfg.out_dir)
     save_params(out, params)

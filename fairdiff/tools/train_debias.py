@@ -47,6 +47,10 @@ class TrainCLIConfig:
     mesh_data: int = 1
     mesh_model: int = 1
     experiment: str = "exp1"
+    # SD architecture preset: "sd15" (production) or "tiny" (fixture-scale
+    # converted checkpoints — the real-weights-contract e2e path; unlike
+    # tiny_smoke this loads model_dir/guidance_dir instead of synthetics)
+    sd_config: str = "sd15"
     model_dir: str = ""
     tokenizer_dir: str = ""
     guidance_dir: str = ""  # converted detector/classifier/feat model params
@@ -107,13 +111,16 @@ def build_trainer(cfg: TrainCLIConfig, *, abstract_params: bool = False):
             train_micro_batch=2, val_images_per_prompt=2, lora_rank=2,
         )
     else:
-        sd = StableDiffusion(SDConfig.sd15(), remat=True)
+        arch = {"sd15": SDConfig.sd15, "tiny": SDConfig.tiny}[
+            cfg.sd_config or "sd15"
+        ]()
+        sd = StableDiffusion(arch, remat=cfg.sd_config != "tiny")
         if abstract_params:
             params = jax.eval_shape(sd.init_params, jax.random.key(cfg.seed))
         elif cfg.model_dir:
             from fairdiff.io.checkpoints import load_sd_params
 
-            params = load_sd_params(cfg.model_dir)
+            params = load_sd_params(cfg.model_dir, cast=sd.config.dtype)
         else:
             print("[train] WARNING: no --model_dir; random-init SD weights")
             params = sd.init_params(jax.random.key(cfg.seed))
@@ -152,7 +159,7 @@ def main(cfg: TrainCLIConfig):
     cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     sd, trainer, dcfg = build_trainer(cfg)
     tokenizer = load_tokenizer(cfg.tokenizer_dir or None)
-    if cfg.tiny_smoke:
+    if cfg.tiny_smoke or cfg.sd_config == "tiny":
         tokenizer.vocab_size = sd.config.text.vocab_size
         tokenizer.bos_token_id = 0
         tokenizer.eos_token_id = sd.config.text.vocab_size - 1
