@@ -4,11 +4,25 @@ The reference is strictly data-parallel (2-way DP over A100s; SURVEY.md
 §2.5) — its trainable state is tiny LoRA/prefix trees, so *parameter*
 memory never forces sharding. On TPU the binding constraint is different:
 the 16G-HBM v5e bounds how many differentiable-sampling lanes fit in one
-pair-VJP (PERF.md: p=8 at CFG 16; p=12 RESOURCE_EXHAUSTED). Sharding the
-transformer *activations* over a second mesh axis divides exactly that
-per-chip activation footprint, so a ("data", "model") mesh scales the
-micro-batch past the single-chip memory wall — a capability the reference
-never needed and never had.
+pair-VJP (PERF.md "TP scaling evidence": 0.944 GB/lane + 3.18 GB fixed,
+max 13 lanes). What each axis buys, per the r4 AOT measurements:
+
+  - the DATA axis is the micro-batch memory lever: pair lanes are
+    embarrassingly parallel, so each chip carries local_lanes x
+    0.944 GB with no cross-chip term — 2 chips run the full 24-lane
+    production batch in one dispatch per step.
+  - the MODEL axis shards the transformer-block slice of the program
+    (attention + TE MLP, kept on the flash path via
+    custom_partitioning below) — its value is latency scaling at fixed
+    batch and parameter/optimizer sharding headroom, NOT micro-batch
+    relief: the allocations that actually bind at p=12 are conv/GN/
+    resblock hiddens (r3 OOM dump), which are batch-dim'd and
+    replicate under "model". The CPU-mesh AOT sweep confirms model=2
+    does not shrink (and on the XLA einsum lowering slightly grows)
+    the per-device temp bytes of the step-VJP.
+
+Both axes compose in one ("data", "model") mesh — a capability the
+reference never needed and never had.
 
 The scheme is the classic column/row split, expressed purely as
 `PartitionSpec`s on the parameter pytree; XLA's SPMD partitioner inserts

@@ -228,10 +228,14 @@ def trainer_pair_sweep(cfg: TPScalingConfig) -> list[dict]:
             "max_lanes_1chip": int(
                 (cfg.hbm_budget_gb - fixed) // max(slope, 1e-9)
             ),
-            # TP=2 halves the per-lane activations (heads split);
-            # frozen weights stay replicated
-            "max_lanes_tp2_projected": int(
-                (cfg.hbm_budget_gb - fixed) // max(slope / 2, 1e-9)
+            # data-axis scaling: lanes are embarrassingly parallel, so
+            # n chips carry n x max_lanes_1chip. A TP=2 projection is
+            # deliberately NOT printed: the unet_vjp CPU sweep measured
+            # that model=2 does not shrink per-device temps (the binding
+            # conv/GN hiddens are batch-dim'd and replicate under
+            # "model") — see PERF.md "TP scaling evidence".
+            "max_lanes_2chip_dp": 2 * int(
+                (cfg.hbm_budget_gb - fixed) // max(slope, 1e-9)
             ),
         }), flush=True)
     return rows
