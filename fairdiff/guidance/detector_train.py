@@ -108,22 +108,118 @@ def render_negative_scene(
     )
 
 
+def render_face_scene_dr(
+    rng: np.random.Generator, size: int = 128
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Domain-randomized face scene (round-4 robustness training).
+
+    The r3-trained detector collapsed on the distribution shifts the
+    eval suite probes (docs/DETECTOR.md: recall 0.34 on scale_small,
+    0.63 on low_contrast, 0.74 on skin_tone) because render_face_scene
+    fixes every one of those axes. This renderer samples them all
+    CONTINUOUSLY, with ranges at least as wide as the eval suite's fixed
+    points: background (noise or structured), 1-3 faces (ground truth =
+    largest, the detect_fn contract), log-uniform scale 0.10-1.35,
+    centers to the frame edge, a light-to-dark skin-tone continuum,
+    occluders painted AFTER the face, optional blur and contrast
+    compression. After training on this, the shifted suite is no longer
+    fully out-of-distribution — it becomes axis coverage; the remaining
+    honest OOD statement is real photographs (environmental, see
+    docs/DETECTOR.md caveats)."""
+    if rng.uniform() < 0.3:
+        img = _structured_background(rng, size)
+    else:
+        img = rng.normal(0.0, 0.15, (size, size, 3)).astype(np.float32)
+    for _ in range(int(rng.integers(0, 4))):
+        _paint_blob(img, rng)
+
+    def sample_tone():
+        light = np.array([0.85, 0.65, 0.50])
+        dark = np.array([0.10, -0.10, -0.25])
+        t = rng.uniform()
+        return light * (1 - t) + dark * t + rng.normal(0, 0.04, 3)
+
+    # scale floor 0.15: the anchor scale gates assign sqrt(bw*bh) in
+    # [stride*2, stride*10) px over strides (8,16,32) = [16, 320) px, and
+    # a ~112*s px face below that range has NO positive anchors — it
+    # would train the score head to suppress real faces. s=0.15 ≈ 17 px
+    # is the architecture's assignable floor (documented in DETECTOR.md).
+    n_faces = 1 if rng.uniform() < 0.7 else int(rng.integers(2, 4))
+    best = None
+    for i in range(n_faces):
+        scale_range = (
+            (0.15, 1.35) if i == 0 else (0.15, 0.5)
+        )
+        lo, hi = np.log(scale_range[0]), np.log(scale_range[1])
+        s = float(np.exp(rng.uniform(lo, hi)))
+        bbox, lms = _paint_face(
+            img, rng, scale_range=(s, s), center_range=(0.08, 0.92),
+            skin_base=sample_tone(),
+        )
+        area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+        if best is None or area > best[0]:
+            best = (area, bbox, lms)
+    bbox, lms = best[1], best[2]
+
+    if rng.uniform() < 0.3:  # occluder over the gt face (painted after)
+        cx = rng.uniform(bbox[0], bbox[2])
+        cy = rng.uniform(bbox[1], bbox[3])
+        w = rng.uniform(0.05, 0.14) * size
+        ys, xs = np.mgrid[0:size, 0:size]
+        ell = ((xs - cx) / w) ** 2 + ((ys - cy) / w) ** 2 <= 1.0
+        img[ell] = rng.uniform(-0.8, 0.8, 3) + rng.normal(
+            0, 0.05, (int(ell.sum()), 3)
+        )
+    if rng.uniform() < 0.3:
+        img = _gaussian_blur(img, rng.uniform(0.5, 2.5))
+    if rng.uniform() < 0.3:
+        img = img * rng.uniform(0.35, 1.0) + rng.uniform(-0.3, 0.3)
+    return np.clip(img, -1, 1), bbox, lms
+
+
+def render_negative_scene_dr(
+    rng: np.random.Generator, size: int = 128
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Face-free DR scene: structured backgrounds and contrast shifts
+    must NOT become face cues, so negatives sample them too."""
+    if rng.uniform() < 0.3:
+        img = _structured_background(rng, size)
+    else:
+        img = rng.normal(0.0, 0.15, (size, size, 3)).astype(np.float32)
+    for _ in range(int(rng.integers(1, 4))):
+        _paint_blob(img, rng)
+    if rng.uniform() < 0.3:
+        img = _gaussian_blur(img, rng.uniform(0.5, 2.5))
+    if rng.uniform() < 0.3:
+        img = img * rng.uniform(0.35, 1.0) + rng.uniform(-0.3, 0.3)
+    return (
+        np.clip(img, -1, 1),
+        np.full(4, -1.0, np.float32),
+        np.full((5, 2), -1.0, np.float32),
+    )
+
+
 def synthetic_batches(
     batch_size: int,
     size: int = 128,
     seed: int = 0,
     neg_frac: float = 0.0,
     distractors: int = 0,
+    scenes: str = "base",  # "base" (r1 renderer) | "dr" (domain-randomized)
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     rng = np.random.default_rng(seed)
+    if scenes == "dr":
+        pos = lambda: render_face_scene_dr(rng, size)
+        neg = lambda: render_negative_scene_dr(rng, size)
+    else:
+        pos = lambda: render_face_scene(rng, size, distractors)
+        neg = lambda: render_negative_scene(rng, size)
     while True:
-        scenes = [
-            render_negative_scene(rng, size)
-            if rng.uniform() < neg_frac
-            else render_face_scene(rng, size, distractors)
+        scene_list = [
+            neg() if rng.uniform() < neg_frac else pos()
             for _ in range(batch_size)
         ]
-        imgs, boxes, lms = zip(*scenes)
+        imgs, boxes, lms = zip(*scene_list)
         yield np.stack(imgs), np.stack(boxes), np.stack(lms)
 
 
@@ -325,7 +421,10 @@ def evaluate_detector(
     ious: list[float] = []
     lm_errs: list[float] = []
     fp = 0
-    for _ in range(max(n_scenes // batch, 1)):
+    # n_scenes < batch still runs (and counts) one full batch — the old
+    # (n_scenes // batch) * batch denominator was 0 there (ZeroDivision)
+    n_batches = max(n_scenes // batch, 1)
+    for _ in range(n_batches):
         pos = [scene_fn(rng) for _ in range(batch)]
         imgs, boxes, lms = (np.stack(z) for z in zip(*pos))
         det = detect_fn(jnp.asarray(imgs))
@@ -349,7 +448,7 @@ def evaluate_detector(
         ndet = detect_fn(jnp.asarray(nimgs))
         fp += int(np.asarray(ndet.indicators).sum())
 
-    n = (n_scenes // batch) * batch
+    n = n_batches * batch
     return {
         "n_scenes": float(n),
         "recall": hits / n,

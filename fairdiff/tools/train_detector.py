@@ -34,6 +34,9 @@ class DetTrainConfig:
     # score suppression, which is what makes the held-out fp_rate honest
     neg_frac: float = 0.25
     distractors: int = 2
+    # "dr" (default): domain-randomized scenes covering every shift axis
+    # the eval suite probes (docs/DETECTOR.md r4); "base": the r1 renderer
+    scenes: str = "dr"
     eval_scenes: int = 256  # 0 disables the held-out eval
 
 
@@ -60,6 +63,7 @@ def main(cfg: DetTrainConfig):
     batches = synthetic_batches(
         cfg.batch_size, cfg.image_size, cfg.seed,
         neg_frac=cfg.neg_frac, distractors=cfg.distractors,
+        scenes=cfg.scenes,
     )
     for i in range(cfg.steps):
         imgs, boxes, lms = next(batches)
