@@ -17,7 +17,10 @@ Design:
     128-lane minor dim, the TPU-friendly layout for per-row stats), and the
     backward recomputes probabilities tile-by-tile so the [S, T] score
     matrix never hits HBM in the grad pass either. Set
-    FAIRDIFF_FLASH_BWD=recompute to fall back to an XLA-recompute vjp.
+    FAIRDIFF_FLASH_BWD=recompute to fall back to an XLA-recompute vjp,
+    or =merged for the single-pass dq+dkv kernel — correct and
+    VMEM-fitting (packed stats), but measured 0.66-0.88x the split
+    kernels on v5e (PERF.md round 4): kept as a documented dead end.
 """
 
 from __future__ import annotations
@@ -241,8 +244,155 @@ def _bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_merged_kernel(
+    q_ref, k_ref, v_ref, do_ref, stat_ref, dk_ref, dv_ref, dq_ref,
+    *, scale: float, t_valid: int, block_kv: int, block_s: int,
+):
+    """One (batch*head, k-block): dk/dv for this block AND this block's dq
+    contribution for every q row, in a single pass over the q tiles.
+
+    The split dq/dkv kernels each recompute S = QK^T and (for dq) dP =
+    dO.V^T per tile — 7 [S,T]-sized matmul passes total. This kernel
+    computes S/P/dP once and emits all three gradients: 5 passes, the
+    flash-backward minimum, plus one fewer full HBM read of q/do/lse/delta.
+
+    dq accumulates across k-block grid steps into an f32 output whose block
+    index is constant in the k dim: consecutive grid steps for a fixed
+    batch*head revisit the same VMEM-resident block, which TPU Pallas
+    keeps live between steps (sequential grid), so `dq += contribution`
+    is safe; it is zero-initialised at the first k block.
+    """
+    i = pl.program_id(1)
+    k = k_ref[0]
+    v = v_ref[0]
+    n_s = q_ref.shape[1] // block_s
+
+    @pl.when(i == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(j * block_s, block_s), :]
+        do = do_ref[0, pl.ds(j * block_s, block_s), :]
+        st = stat_ref[0, pl.ds(j * block_s, block_s), :]
+        lse = st[:, 0:1]
+        dlt = st[:, 1:2]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK_S, block_kv] fp32
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_kv
+        s = jnp.where(col < t_valid, s, -jnp.inf)
+        p = jnp.exp(s - lse)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - dlt)).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sl = pl.ds(j * block_s, block_s)
+        dq_ref[0, sl, :] = (
+            dq_ref[0, sl, :]
+            + scale * jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(dq_ref.dtype)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((k.shape[0], k.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_s, body, (z, z))
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _packed_stats(lse, g, o, s_pad):
+    """[B*H, s_pad, 2] f32: lane 0 = lse, lane 1 = delta = rowsum(dO*O).
+
+    One 2-lane buffer instead of two 128-lane-broadcast buffers: the
+    Mosaic pipeline allocates (and double-buffers) each stat input at
+    s_pad x 128-lane granularity in VMEM regardless of the HBM lane
+    count, so the broadcast layout cost 8 MB of the 16 MB scoped-VMEM
+    budget per backward kernel; packed, it costs 4 MB.
+    """
+    B, S, H, D = g.shape
+    delta = jnp.einsum(
+        "bshd,bshd->bhs", g.astype(jnp.float32), o.astype(jnp.float32)
+    ).reshape(B * H, S)
+    return jnp.concatenate(
+        [lse[..., :1], _pad_to(delta, s_pad, 1)[:, :, None]], axis=-1
+    )
+
+
+def _flash_backward_merged(q, k, v, o, lse, g):
+    """Single-pass flash backward (see _bwd_merged_kernel)."""
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    scale = D**-0.5
+    s_pad = -(-S // BLOCK_S) * BLOCK_S
+    bt = _block_t(T)
+    t_pad = -(-T // bt) * bt
+
+    qp = _prep(q, s_pad)
+    kp = _prep(k, t_pad)
+    vp = _prep(v, t_pad)
+    gp = _prep(g, s_pad)
+    stats = _packed_stats(lse, g, o, s_pad)
+
+    qo_full_spec = pl.BlockSpec(
+        (1, s_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    stat_full_spec = pl.BlockSpec(
+        (1, s_pad, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    # same VMEM regime as the split dkv kernel (full q/do/lse/delta resident)
+    # plus the dq accumulator block. FAIRDIFF_MERGED_DQ32=0 accumulates dq
+    # in the activation dtype (one rounding per k-block instead of one at
+    # the end) — a VMEM-fit probe, not a production setting.
+    bkv = min(bt, int(os.environ.get("FAIRDIFF_MERGED_BLOCK", "512")))
+    # inner q tile 256 (not BLOCK_S=512): halves the fp32 score temps,
+    # which is what fits the kernel inside the 16M scoped-VMEM limit at
+    # the 4096-token d=40 shape (512 tiles measured 0.27-1.0M over)
+    bs_m = min(s_pad, int(os.environ.get("FAIRDIFF_MERGED_BS", "256")))
+    dq_dtype = (
+        jnp.float32
+        if os.environ.get("FAIRDIFF_MERGED_DQ32", "1") == "1"
+        else q.dtype
+    )
+    kv_spec = pl.BlockSpec(
+        (1, bkv, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(
+            _bwd_merged_kernel, scale=scale, t_valid=T, block_kv=bkv,
+            block_s=bs_m,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, t_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, t_pad, D), v.dtype),
+            jax.ShapeDtypeStruct((B * H, s_pad, D), dq_dtype),
+        ],
+        grid=(B * H, t_pad // bkv),
+        in_specs=[qo_full_spec, kv_spec, kv_spec, qo_full_spec,
+                  stat_full_spec],
+        out_specs=[kv_spec, kv_spec, qo_full_spec],
+    )(qp, kp, vp, gp, stats)
+
+    def unprep(x, n, dtype):
+        return jnp.moveaxis(x[:, :n].reshape(B, H, n, D), 1, 2).astype(dtype)
+
+    return unprep(dq, S, q.dtype), unprep(dk, T, k.dtype), unprep(dv, T, v.dtype)
+
+
 def _flash_backward(q, k, v, o, lse, g):
     """Flash backward: tile-recomputed probabilities, no [S,T] HBM buffer."""
+    if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "merged":
+        return _flash_backward_merged(q, k, v, o, lse, g)
     B, S, H, D = q.shape
     T = k.shape[1]
     scale = D**-0.5
@@ -255,7 +405,11 @@ def _flash_backward(q, k, v, o, lse, g):
     vp = _prep(v, t_pad)
     gp = _prep(g, s_pad)
 
-    # delta_i = rowsum(dO * O), broadcast over the 128-lane stat layout
+    # delta_i = rowsum(dO * O), broadcast over the 128-lane stat layout.
+    # (The merged kernel's packed 2-lane stat buffer was measured 4.8%
+    # SLOWER here: constructing it costs an extra full HBM read of the
+    # lse buffer per call, and the broadcast buffers' VMEM cost fits
+    # these split kernels fine.)
     delta = jnp.einsum(
         "bshd,bshd->bhs",
         g.astype(jnp.float32),

@@ -72,6 +72,41 @@ def test_flash_grad_matches_xla(monkeypatch, s, t, d):
         )
 
 
+@pytest.mark.parametrize(
+    "s,t,d",
+    [
+        (512, 512, 64),   # aligned self-attention
+        (600, 300, 40),   # both seq dims padded, head_dim padded
+        (1024, 77, 80),   # cross-attention (key side much shorter)
+        (1024, 1024, 40), # exercises the 1024-wide K/V tile path
+    ],
+)
+def test_flash_grad_merged_matches_xla(monkeypatch, s, t, d):
+    """Merged single-pass dq+dkv backward vs XLA autodiff."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    monkeypatch.setenv("FAIRDIFF_FLASH_BWD", "merged")
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, s, 2, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, t, 2, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, t, 2, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, s, 2, d)).astype(np.float32))
+
+    def loss(f):
+        return lambda a, b, c: (f(a, b, c) * w).sum()
+
+    got = jax.grad(loss(fa.flash_attention), argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss(_ref), argnums=(0, 1, 2))(q, k, v)
+    for gg, rr, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(rr), atol=5e-5, err_msg=f"d{name}"
+        )
+
+
 def test_flash_grad_recompute_fallback(monkeypatch):
     import functools
 
