@@ -45,11 +45,18 @@ class DetEvalConfig:
     tiny: bool = False
     json_out: str = ""
     shifts: str = ""  # comma-separated subset; empty = all
+    # 0 keeps DetectorConfig's default (0.5); higher trades recall for a
+    # lower false-positive rate (the DR-trained fallback's knob)
+    score_threshold: float = 0.0
 
 
 def main(cfg: DetEvalConfig) -> dict[str, dict[str, float]]:
     cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     det_cfg = DetectorConfig.tiny() if cfg.tiny else DetectorConfig()
+    if cfg.score_threshold > 0:
+        det_cfg = dataclasses.replace(
+            det_cfg, score_threshold=cfg.score_threshold
+        )
     net = FaceDetectorNet(det_cfg)
     params = load_adapters(cfg.weights)
     detect = jax.jit(make_detect_fn(net, params, det_cfg))
