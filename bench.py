@@ -491,8 +491,18 @@ def main():
                 file=sys.stderr,
             )
         else:
-            # reuse the bf16 SD params already on device (same tree the
-            # trainer used) — a second giant init would recompile minutes
+            # Free every training-only device buffer first. The gen batch-16
+            # program fits comfortably alone (tools/bench_gen: 1.201 img/s)
+            # but measured 0.046 img/s — a 26x allocator thrash — when the
+            # trainer, its jit cache, and the ~GBs of guidance-zoo params
+            # (CLIP-H/DINOv2/SCRFD/classifiers, which generation never
+            # touches) were still resident (r4 log, 2026-08-20). Dropping
+            # the Python refs lets the backend free the buffers; the SD
+            # params tree stays — the gen program shares it.
+            import gc
+
+            del trainer, state, guidance, logs
+            gc.collect()
             gen["gb"].run(params)
 
 
