@@ -68,7 +68,11 @@ def _paint_face(
         r = max(1, int(2 * scale))
         y0, y1 = int(ly) - r, int(ly) + r + 1
         x0, x1 = int(lx) - r, int(lx) + r + 1
-        img[max(y0, 0) : y1, max(x0, 0) : x1] = -0.7
+        # clamp STOPS at 0 too: a landmark past the left/top edge gives a
+        # negative stop, and img[a:-13] would paint a near-full-width band
+        # (hit by the DR renderer's edge centers/large scales — corrupted
+        # ~2% of DR scenes before the r4 fix)
+        img[max(y0, 0) : max(y1, 0), max(x0, 0) : max(x1, 0)] = -0.7
     bbox = np.array([cx - half_w, cy - half_h, cx + half_w, cy + half_h])
     return bbox.astype(np.float32), lms.astype(np.float32)
 
@@ -119,7 +123,8 @@ def render_face_scene_dr(
     fixes every one of those axes. This renderer samples them all
     CONTINUOUSLY, with ranges at least as wide as the eval suite's fixed
     points: background (noise or structured), 1-3 faces (ground truth =
-    largest, the detect_fn contract), log-uniform scale 0.10-1.35,
+    largest, the detect_fn contract), log-uniform scale 0.15-1.35 (the
+    anchor-assignable floor — see the scale-gate comment below),
     centers to the frame edge, a light-to-dark skin-tone continuum,
     occluders painted AFTER the face, optional blur and contrast
     compression. After training on this, the shifted suite is no longer
@@ -410,7 +415,12 @@ def evaluate_detector(
     `scene_fn(rng) -> (img, bbox, lms)` overrides the positive-scene
     generator (default: the training renderer — same-distribution); pass
     one of `shifted_scene_fns()` for the distribution-shift benchmark.
-    `neg_fn(rng)` likewise overrides the face-free generator.
+    `neg_fn(rng)` likewise overrides the face-free generator; pass
+    `neg_fn=False` to skip the negative pass entirely (no "fp_rate" key)
+    — fp is a property of the BACKGROUND distribution, so shift sweeps
+    that only transform the face should measure it once per background
+    family (see `false_positive_rate` / `shifted_negative_fns`) instead
+    of re-running identical base negatives per shift.
     """
     if scene_fn is None:
         scene_fn = lambda r: render_face_scene(r, size, distractors)
@@ -443,20 +453,78 @@ def evaluate_detector(
                 err = np.linalg.norm(got_l[i] - lms[i], axis=-1).mean()
                 lm_errs.append(float(err / max(scale, 1e-6)))
 
-        neg = [neg_fn(rng) for _ in range(batch)]
-        nimgs = np.stack([z[0] for z in neg])
-        ndet = detect_fn(jnp.asarray(nimgs))
-        fp += int(np.asarray(ndet.indicators).sum())
+        if neg_fn is not False:
+            neg = [neg_fn(rng) for _ in range(batch)]
+            nimgs = np.stack([z[0] for z in neg])
+            ndet = detect_fn(jnp.asarray(nimgs))
+            fp += int(np.asarray(ndet.indicators).sum())
 
     n = n_batches * batch
-    return {
+    out = {
         "n_scenes": float(n),
         "recall": hits / n,
         "det_rate": fired / n,
-        "fp_rate": fp / n,
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
         # mean landmark error in 112-aligned-template pixel units
         "lm_err_112px": float(np.mean(lm_errs)) if lm_errs else -1.0,
+    }
+    if neg_fn is not False:
+        out["fp_rate"] = fp / n
+    return out
+
+
+def false_positive_rate(
+    detect_fn,
+    *,
+    n_scenes: int = 256,
+    size: int = 128,
+    seed: int = 9999,
+    batch: int = 32,
+    neg_fn=None,
+) -> float:
+    """Fraction of face-free scenes the detector fires on. Stand-alone so a
+    shift sweep can price fp once per background family instead of once
+    per (face-only) shift."""
+    if neg_fn is None:
+        neg_fn = lambda r: render_negative_scene(r, size)
+    rng = np.random.default_rng(seed)
+    fp = 0
+    n_batches = max(n_scenes // batch, 1)
+    for _ in range(n_batches):
+        nimgs = np.stack([neg_fn(rng)[0] for _ in range(batch)])
+        fp += int(np.asarray(detect_fn(jnp.asarray(nimgs)).indicators).sum())
+    return fp / (n_batches * batch)
+
+
+def shifted_negative_fns(size: int = 128) -> dict:
+    """Face-free counterparts of the shifts that transform the BACKGROUND
+    (blur, textured_bg, low_contrast). The remaining shifts alter only the
+    face geometry/appearance, so their face-free scenes are identical to
+    the base negative distribution — a per-shift fp there would relabel
+    the same number nine times (r4 review finding)."""
+    neg_contract = (
+        np.full(4, -1.0, np.float32),
+        np.full((5, 2), -1.0, np.float32),
+    )
+
+    def blur(rng):
+        img, b, l = render_negative_scene(rng, size)
+        return _gaussian_blur(img, rng.uniform(1.0, 2.0)), b, l
+
+    def low_contrast(rng):
+        img, b, l = render_negative_scene(rng, size)
+        shift = rng.uniform(-0.3, 0.3)
+        return np.clip(img * 0.45 + shift, -1, 1).astype(np.float32), b, l
+
+    def textured_bg(rng):
+        img = _structured_background(rng, size)
+        _paint_blob(img, rng)
+        return np.clip(img, -1, 1), *neg_contract
+
+    return {
+        "blur": blur,
+        "low_contrast": low_contrast,
+        "textured_bg": textured_bg,
     }
 
 

@@ -359,6 +359,18 @@ def _flash_backward_merged(q, k, v, o, lse, g):
     # which is what fits the kernel inside the 16M scoped-VMEM limit at
     # the 4096-token d=40 shape (512 tiles measured 0.27-1.0M over)
     bs_m = min(s_pad, int(os.environ.get("FAIRDIFF_MERGED_BS", "256")))
+    # non-divisor tile knobs must ERROR: grid=(.., t_pad//bkv) and the
+    # kernel's n_s = s_pad//bs_m floor-divide, so a non-divisor would
+    # silently skip k-blocks/q-rows — returning uninitialised dk/dv rows
+    # and wrong dq with plausible-looking timings (r4 review finding)
+    if t_pad % bkv:
+        raise ValueError(
+            f"FAIRDIFF_MERGED_BLOCK={bkv} must divide padded kv len {t_pad}"
+        )
+    if s_pad % bs_m:
+        raise ValueError(
+            f"FAIRDIFF_MERGED_BS={bs_m} must divide padded q len {s_pad}"
+        )
     dq_dtype = (
         jnp.float32
         if os.environ.get("FAIRDIFF_MERGED_DQ32", "1") == "1"

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from fairdiff.guidance.detector_train import (
-    evaluate_detector, shifted_scene_fns,
+    evaluate_detector, false_positive_rate, shifted_negative_fns,
+    shifted_scene_fns,
 )
 from fairdiff.io.adapters_io import load_adapters
 from fairdiff.models.face_detector import (
@@ -69,14 +70,32 @@ def main(cfg: DetEvalConfig) -> dict[str, dict[str, float]]:
     results: dict[str, dict[str, float]] = {}
     for name in names:
         scene_fn = None if name == "train_dist" else fns[name]
+        # neg_fn=False: the shifts transform the FACE, not the face-free
+        # background — fp is priced once per background family below
+        # instead of re-running identical base negatives per shift
         m = evaluate_detector(
             detect, n_scenes=cfg.n_scenes, size=cfg.image_size,
-            seed=cfg.seed, scene_fn=scene_fn,
+            seed=cfg.seed, scene_fn=scene_fn, neg_fn=False,
         )
         results[name] = m
         print(json.dumps({"shift": name, **{
             k: round(v, 4) for k, v in m.items()
         }}), flush=True)
+
+    # false-positive rate per background family (base noise + the three
+    # background-transforming shifts applied to face-free scenes)
+    neg_fns = {"base": None, **shifted_negative_fns(cfg.image_size)}
+    fp_rates = {
+        name: false_positive_rate(
+            detect, n_scenes=cfg.n_scenes, size=cfg.image_size,
+            seed=cfg.seed, neg_fn=fn,
+        )
+        for name, fn in neg_fns.items()
+    }
+    results["fp_rates"] = fp_rates
+    print(json.dumps({"fp_rates": {
+        k: round(v, 4) for k, v in fp_rates.items()
+    }}), flush=True)
     if cfg.json_out:
         with open(cfg.json_out, "w") as f:
             json.dump(results, f, indent=1)
