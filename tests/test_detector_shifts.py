@@ -77,3 +77,47 @@ def test_evaluate_detector_scene_fn_override():
     )
     assert m["det_rate"] == 1.0
     assert 0.0 <= m["recall"] <= 1.0
+
+
+def test_edge_landmark_paint_stays_local():
+    """Regression (r4 review): a landmark past the left/top frame edge gave
+    a NEGATIVE slice stop, and img[a:-13] painted a near-full-width dark
+    band — corrupting ~2% of DR scenes. Clamped stops paint nothing
+    outside the face. 400 DR scenes must contain zero wide bands."""
+    from fairdiff.guidance.detector_train import render_face_scene_dr
+
+    rng = np.random.default_rng(42)
+    for _ in range(400):
+        img, _, _ = render_face_scene_dr(rng, 128)
+        dark_rows = (img == -0.7).all(axis=2).sum(axis=1)
+        assert int(dark_rows.max()) <= 60, int(dark_rows.max())
+
+
+def test_fp_rate_skip_and_standalone():
+    """evaluate_detector(neg_fn=False) omits fp_rate; false_positive_rate
+    prices the face-free pass standalone, per background family."""
+    from fairdiff.guidance.detector_train import (
+        evaluate_detector, false_positive_rate, shifted_negative_fns,
+    )
+    from fairdiff.guidance.faces import FaceDetections
+
+    def never_detect(images):
+        n = images.shape[0]
+        return FaceDetections(
+            indicators=jnp.zeros(n, bool),
+            bboxes=jnp.zeros((n, 4)),
+            landmarks=jnp.zeros((n, 5, 2)),
+            scores=jnp.zeros(n),
+        )
+
+    m = evaluate_detector(never_detect, n_scenes=4, size=96, batch=4,
+                          neg_fn=False)
+    assert "fp_rate" not in m and m["det_rate"] == 0.0
+    neg_fns = shifted_negative_fns(96)
+    assert set(neg_fns) == {"blur", "low_contrast", "textured_bg"}
+    for name, fn in neg_fns.items():
+        img, bbox, lms = fn(np.random.default_rng(1))
+        assert img.shape == (96, 96, 3) and (bbox == -1).all(), name
+        fp = false_positive_rate(never_detect, n_scenes=4, size=96,
+                                 batch=4, neg_fn=fn)
+        assert fp == 0.0, name
