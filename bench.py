@@ -260,11 +260,30 @@ class GenBench:
                 "metric": "gen_images_per_sec_50step_dpm",
                 "value": round(ips, 3),
                 "unit": "img/s",
-                # reference: single A100 fp16, 30-step batch-10 "2-3 s/img"
-                # README scale; no published 50-step number -> absolute only
-                "vs_baseline": round(ips, 3),
+                "vs_baseline": round(ips / GEN_BASELINE_IMG_S, 3),
+                "baseline_note": GEN_BASELINE_NOTE,
             }), flush=True)
         return ips
+
+
+# The reference publishes no generation throughput. The denominator below is
+# DERIVED from its one published perf fact — ~22 s/optimizer-step on 2xA100
+# (BASELINE.md) for a workload whose FLOPs are implementation-independent:
+# 912+912 CFG UNet passes (phases 1/3) + 2736 fwd-equivalents in the
+# checkpointed chain backward (phase 4) = 4560 x 0.68 TFLOP + ~0.3 PFLOP
+# decode/guidance = 3.4 PFLOP -> 3.4e3/44 = 77 effective TFLOPS per A100 on
+# this exact model mix. One 50-step CFG image = 100 UNet fwd x 0.68 + 1.2
+# decode = 69.2 TFLOP -> 77/69.2 = 1.12 img/s per A100. Caveat (recorded in
+# BASELINE.md): the train-derived TFLOPS includes the reference's host-side
+# face-detection stalls, so a pure-GPU diffusers loop could run somewhat
+# above this; treat vs_baseline as an estimate against a derived, not
+# measured, denominator.
+GEN_BASELINE_IMG_S = 1.12
+GEN_BASELINE_NOTE = (
+    "denominator 1.12 img/s derived from the reference's 44 chip*s/step "
+    "train fact (77 eff. TFLOPS/A100 x 69.2 TFLOP per 50-step image); "
+    "no measured reference gen number exists — see BASELINE.md"
+)
 
 
 def bench_generation():

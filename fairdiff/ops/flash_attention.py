@@ -461,6 +461,13 @@ def _flash_backward(q, k, v, o, lse, g):
     # dots shrank the fp32 temps; FAIRDIFF_DKV_BLOCK=1024 re-tests the
     # wide tile on real hardware.
     bkv = min(bt, int(os.environ.get("FAIRDIFF_DKV_BLOCK", "512")))
+    if t_pad % bkv:
+        # same hazard as the merged path: grid=(B*H, t_pad // bkv) with a
+        # non-divisor would silently drop the trailing k rows, leaving
+        # uninitialised dk/dv blocks
+        raise ValueError(
+            f"FAIRDIFF_DKV_BLOCK={bkv} must divide padded kv len {t_pad}"
+        )
     kv_spec = pl.BlockSpec(
         (1, bkv, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )

@@ -76,15 +76,23 @@ def timeit_grad(q, k, v, iters=20):
     return dt, [jnp.asarray(x, jnp.float32) for x in g]
 
 
+def _flag_value(flag: str) -> str | None:
+    """Value following `flag` in sys.argv, or None (missing / last arg)."""
+    if flag not in sys.argv:
+        return None
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        raise SystemExit(f"{flag} requires a value")
+    return sys.argv[i + 1]
+
+
 def main_grad(dtype):
     key = jax.random.key(0)
-    only = None
-    if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
-    modes = ("pallas", "merged")
-    if "--modes" in sys.argv:
-        modes = tuple(sys.argv[sys.argv.index("--modes") + 1].split(","))
+    only = _flag_value("--only")
+    modes_arg = _flag_value("--modes")
+    modes = tuple(modes_arg.split(",")) if modes_arg else ("pallas", "merged")
     print(f"device={jax.devices()[0].platform} dtype={dtype.__name__} (fwd+bwd)")
+    prior_bwd = os.environ.get("FAIRDIFF_FLASH_BWD")
     for name, b, s, t, h, d in SHAPES:
         if only is not None and name != only:
             continue
@@ -93,13 +101,19 @@ def main_grad(dtype):
         k = jax.random.normal(kk, (b, t, h, d), dtype)
         v = jax.random.normal(kv, (b, t, h, d), dtype)
         res = {}
-        for mode in modes:
-            os.environ["FAIRDIFF_FLASH_BWD"] = mode
-            try:
-                res[mode] = timeit_grad(q, k, v)
-            except Exception as e:
-                print(f"  {mode} failed on {name}: {type(e).__name__}: {e}")
-        os.environ.pop("FAIRDIFF_FLASH_BWD", None)
+        try:
+            for mode in modes:
+                os.environ["FAIRDIFF_FLASH_BWD"] = mode
+                try:
+                    res[mode] = timeit_grad(q, k, v)
+                except Exception as e:
+                    print(f"  {mode} failed on {name}: {type(e).__name__}: {e}")
+        finally:
+            # restore whatever the caller had set, not a bare unset
+            if prior_bwd is None:
+                os.environ.pop("FAIRDIFF_FLASH_BWD", None)
+            else:
+                os.environ["FAIRDIFF_FLASH_BWD"] = prior_bwd
         if len(res) == 1:
             ((mode, (t_one, _)),) = res.items()
             print(f"{name:8s} {mode} {t_one*1e3:8.3f} ms")

@@ -62,6 +62,12 @@ def exp3(**overrides) -> DebiasConfig:
         max_train_steps=15000,
         no_face_img_weight_one=False,
         face_search_all_lanes=True,
+        # strict parity with the reference's 2-GPU total: 100 draws per
+        # device x 2 devices = 200 accumulated transport plans per step
+        # (exp-3-debias-gender-race/1-main-debias.py:1528-1535). Pinned
+        # as an explicit total so single-chip runs match reference target
+        # sharpness; per-shard scaling stays available by overriding to 0.
+        ot_num_samples=200,
     )
     return dataclasses.replace(cfg, **overrides)
 

@@ -363,6 +363,22 @@ def test_ot_draw_count_scales_with_shards():
     assert t_ovr.ot_draws == 123
 
 
+def test_ot_presets_pin_reference_total_draws():
+    """exp-3/4/5 presets pin ot_num_samples=200 — the reference's 2-GPU
+    total (100/device x 2, exp-3:1528-1535) — so a single-chip run
+    matches reference target sharpness by default; exp-6 enumerates
+    (no sampling) and exp-1/2 rank (no OT)."""
+    from fairdiff.training import presets
+
+    for name in ("exp3", "exp4", "exp5"):
+        cfg = presets.PRESETS[name]()
+        assert cfg.ot_num_samples == 200, name
+    assert presets.exp6().ot_num_samples == 0
+    assert presets.exp1().ot_num_samples == 0
+    # per-shard scaling stays available as the documented override
+    assert presets.exp3(ot_num_samples=0).ot_num_samples == 0
+
+
 def test_evaluate_artifacts_and_per_prompt_metrics(tmp_path):
     """Eval-process parity (exp-1:1449-1582): per-prompt metric keys,
     frozen-baseline generation on the same noises, and the annotated
