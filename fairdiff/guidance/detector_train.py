@@ -144,16 +144,20 @@ def render_face_scene_dr(
         t = rng.uniform()
         return light * (1 - t) + dark * t + rng.normal(0, 0.04, 3)
 
-    # scale floor 0.15: the anchor scale gates assign sqrt(bw*bh) in
-    # [stride*2, stride*10) px over strides (8,16,32) = [16, 320) px, and
-    # a ~112*s px face below that range has NO positive anchors — it
-    # would train the score head to suppress real faces. s=0.15 ≈ 17 px
-    # is the architecture's assignable floor (documented in DETECTOR.md).
+    # scale floor 0.095: the standard anchor gates assign sqrt(bw*bh) in
+    # [stride*2, stride*10) px over strides (8,16,32) = [16, 320) px; the
+    # r5 nearest-center rescue on the stride-8 level (_level_targets
+    # rescue_floor=10 px) extends assignability down to a ~112*s px face
+    # at s≈0.09. Below THAT no positive anchor exists and training would
+    # teach the score head to suppress real faces, so the renderer floor
+    # tracks the rescue floor with a small margin (was 0.15 when the
+    # assignable floor was 16 px — the scale_small ceiling DETECTOR.md r4
+    # diagnosed).
     n_faces = 1 if rng.uniform() < 0.7 else int(rng.integers(2, 4))
     best = None
     for i in range(n_faces):
         scale_range = (
-            (0.15, 1.35) if i == 0 else (0.15, 0.5)
+            (0.095, 1.35) if i == 0 else (0.095, 0.5)
         )
         lo, hi = np.log(scale_range[0]), np.log(scale_range[1])
         s = float(np.exp(rng.uniform(lo, hi)))
@@ -538,9 +542,23 @@ def _level_targets(
     hw: tuple[int, int],
     stride: int,
     num_anchors: int,
+    *,
+    rescue_floor: float | None = None,
 ):
     """Positive = grid centers inside the central half of the gt box whose
-    scale fits this level's range [stride*2, stride*8] (SCRFD-style)."""
+    scale fits this level's range [stride*2, stride*8] (SCRFD-style).
+
+    rescue_floor (smallest level only): guaranteed nearest-center
+    assignment for small faces. The central-half window of a face near
+    the standard gate's floor is narrower than the grid spacing (at
+    stride 8 a 16 px face has a ±4 px window vs 8 px spacing), so the
+    inside-test alone can yield ZERO positive anchors — the
+    anchor-coverage ceiling docs/DETECTOR.md r4 diagnosed on
+    scale_small. Any face with sqrt(bw*bh) in [rescue_floor, stride*10)
+    gets the grid point nearest its center as a positive, which both
+    (a) guarantees >=1 anchor inside the standard band and (b) extends
+    assignability down to rescue_floor (10 px at stride 8 vs the old
+    16 px floor)."""
     h, w = hw
     cy = (jnp.arange(h, dtype=jnp.float32) * stride).reshape(1, h, 1)
     cx = (jnp.arange(w, dtype=jnp.float32) * stride).reshape(1, 1, w)
@@ -554,6 +572,13 @@ def _level_targets(
     scale = jnp.sqrt(bw * bh)
     fits = (scale >= stride * 2) & (scale < stride * 10)
     pos = (inside & fits).astype(jnp.float32)  # [N, h, w]
+    if rescue_floor is not None:
+        fits_r = (scale >= rescue_floor) & (scale < stride * 10)  # [N,1,1]
+        d2 = (cx - ctr_x) ** 2 + (cy - ctr_y) ** 2  # [N, h, w]
+        nearest = jax.nn.one_hot(
+            jnp.argmin(d2.reshape(d2.shape[0], -1), axis=-1), h * w
+        ).reshape(d2.shape)
+        pos = jnp.maximum(pos, nearest * fits_r.astype(jnp.float32))
     pos = jnp.repeat(pos[..., None], num_anchors, axis=-1)
 
     # distance targets in stride units
@@ -579,11 +604,17 @@ def detection_loss(
     raw = net.apply({"params": params}, images)
     total_cls = total_box = total_kps = 0.0
     n_pos_total = 0.0
+    smallest = min(cfg.strides)
     for score, bbox, kps, stride in zip(
         raw["score"], raw["bbox"], raw["kps"], cfg.strides
     ):
         n, h, w, a = score.shape
-        pos, d_tgt, k_tgt = _level_targets(boxes, lms, (h, w), stride, a)
+        pos, d_tgt, k_tgt = _level_targets(
+            boxes, lms, (h, w), stride, a,
+            # guaranteed nearest-center anchor on the smallest level:
+            # assignable floor 1.25*stride (10 px) instead of 2*stride
+            rescue_floor=1.25 * stride if stride == smallest else None,
+        )
         logits = score.astype(jnp.float32)
         p = jax.nn.sigmoid(logits)
         # focal BCE

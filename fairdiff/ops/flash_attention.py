@@ -431,6 +431,21 @@ def _flash_backward(q, k, v, o, lse, g):
         _pad_to(delta, s_pad, 1)[:, :, None], (B * H, s_pad, LANES)
     )
 
+    dq = _dq_pallas(qp, kp, vp, gp, lse, delta, scale=scale, T=T, bt=bt)
+    dk, dv = _dkv_pallas(qp, kp, vp, gp, lse, delta, scale=scale, bt=bt)
+
+    def unprep(x, n):
+        return jnp.moveaxis(x[:, :n].reshape(B, H, n, D), 1, 2)
+
+    return unprep(dq, S), unprep(dk, T), unprep(dv, T)
+
+
+def _dq_pallas(qp, kp, vp, gp, lse, delta, *, scale, T, bt):
+    """The dq kernel alone on prepped [B*H, pad, D] operands — factored
+    out so tools/roofline.py can time it per-kernel (it is otherwise
+    only reachable through the fused custom_vjp)."""
+    BH, s_pad, D = qp.shape
+    t_pad = kp.shape[1]
     qo_spec = pl.BlockSpec(
         (1, BLOCK_S, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
@@ -440,18 +455,22 @@ def _flash_backward(q, k, v, o, lse, g):
     stat_spec = pl.BlockSpec(
         (1, BLOCK_S, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
-
-    dq = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, t_valid=T, block_t=bt
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, s_pad, D), q.dtype),
-        grid=(B * H, s_pad // BLOCK_S),
+        out_shape=jax.ShapeDtypeStruct((BH, s_pad, D), qp.dtype),
+        grid=(BH, s_pad // BLOCK_S),
         in_specs=[qo_spec, kv_full_spec, kv_full_spec, qo_spec, stat_spec,
                   stat_spec],
         out_specs=qo_spec,
     )(qp, kp, vp, gp, lse, delta)
 
+
+def _dkv_pallas(qp, kp, vp, gp, lse, delta, *, scale, bt):
+    """The dkv kernel alone on prepped operands (see _dq_pallas)."""
+    BH, s_pad, D = qp.shape
+    t_pad = kp.shape[1]
     qo_full_spec = pl.BlockSpec(
         (1, s_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -474,22 +493,17 @@ def _flash_backward(q, k, v, o, lse, g):
     stat_full_spec = pl.BlockSpec(
         (1, s_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    dk, dv = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale),
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, t_pad, D), k.dtype),
-            jax.ShapeDtypeStruct((B * H, t_pad, D), v.dtype),
+            jax.ShapeDtypeStruct((BH, t_pad, D), kp.dtype),
+            jax.ShapeDtypeStruct((BH, t_pad, D), vp.dtype),
         ],
-        grid=(B * H, t_pad // bkv),
+        grid=(BH, t_pad // bkv),
         in_specs=[qo_full_spec, kv_spec, kv_spec, qo_full_spec,
                   stat_full_spec, stat_full_spec],
         out_specs=[kv_spec, kv_spec],
     )(qp, kp, vp, gp, lse, delta)
-
-    def unprep(x, n):
-        return jnp.moveaxis(x[:, :n].reshape(B, H, n, D), 1, 2)
-
-    return unprep(dq, S), unprep(dk, T), unprep(dv, T)
 
 
 def _xla_attention(q, k, v):

@@ -30,10 +30,16 @@ from fairdiff.utils import config as cfglib
 
 @dataclass
 class DemoConfig:
+    # "exp1": rank/binomial gender targets (the r2 committed run);
+    # "exp3": gender x race sampled-OT joint targets — the OT-path
+    # convergence evidence (exp-3-debias-gender-race/1-main-debias.py:
+    # 1460-1569 target math, :2077-2150 joint loss)
+    experiment: str = "exp1"
     steps: int = 120
     learning_rate: float = 2e-3  # tiny models need a larger lr to move
     train_images_per_prompt: int = 8
     train_micro_batch: int = 4
+    ot_num_samples: int = 50  # exp3 demo: draws per step (prod preset: 200)
     # NOTE: random-init tiny models have arbitrary per-seed dynamics — some
     # inits start so saturated that 120 steps can't flip a prediction (the
     # fairness loss still falls). seed=0 is the init the 20-step regression
@@ -59,7 +65,7 @@ def main(cfg: DemoConfig) -> None:
 
     sd = StableDiffusion(SDConfig.tiny())
     params = sd.init_params(jax.random.key(cfg.seed))
-    dcfg = DebiasConfig(
+    common = dict(
         train_text_encoder=True,
         lora_rank=2,
         learning_rate=cfg.learning_rate,
@@ -72,6 +78,26 @@ def main(cfg: DemoConfig) -> None:
         output_dir=cfg.output_dir,
         seed=cfg.seed,
     )
+    if cfg.experiment == "exp3":
+        # the exp-3 preset's objective shape at demo scale: joint
+        # gender x race sampled-OT targets, per-attr factors, joint loss
+        dcfg = DebiasConfig(
+            attributes=("gender", "race"),
+            target_kind="ot2",
+            factor1=(0.2, 0.6),
+            factor2=(0.2, 0.3),
+            uncertainty_thresholds=(0.2, 0.2),
+            no_face_img_weight_one=False,
+            face_search_all_lanes=True,
+            ot_num_samples=cfg.ot_num_samples,
+            weight_loss_img=8.0,
+            weight_loss_face=0.1,
+            **common,
+        )
+        gap_key = "gender_race_gap"
+    else:
+        dcfg = DebiasConfig(**common)
+        gap_key = "gender_gap_abs"
     trainer = DebiasTrainer(sd, params, synthetic_stack(dcfg.attributes), dcfg)
     logger = MetricsLogger(cfg.output_dir)
     state = trainer.init_state(jax.random.key(1))
@@ -86,8 +112,8 @@ def main(cfg: DemoConfig) -> None:
         logger(step, logs)
         if step % 10 == 0 or step == cfg.steps - 1:
             print(
-                f"[convergence] step {step}: |gap|="
-                f"{logs['gender_gap_abs']:.3f} "
+                f"[convergence] step {step}: {gap_key}="
+                f"{logs[gap_key]:.3f} "
                 f"loss_fair={logs.get('train_loss_fair', float('nan')):.4f}",
                 flush=True,
             )

@@ -8,6 +8,13 @@ train/test split of SURVEY.md §4) -> annotated grid + pickled
 [face_indicators, face_bboxs, gender_logits, race_logits, age_logits]
 -> test_results.pkl. TPU-native: detection/classification run batched
 per folder instead of per image.
+
+Detection runs the SAME stack as training: SCRFD primary (exact reference
+det_10g.onnx weights via io/onnx_bridge) composed with the FaceDetectorNet
+fallback — mirroring the reference eval's identical insightface->dlib
+two-stage (eval-generated-images.py:343-366,:574-580). Offline bias
+numbers therefore come from the detector the training loop optimized
+against, not a weaker stand-in.
 """
 
 from __future__ import annotations
@@ -39,35 +46,47 @@ class EvalImagesConfig:
     gender_classifier: str = ""
     race_classifier: str = ""
     age_classifier: str = ""
+    # detection weights — same two-stage contract as the training zoo
+    # (model_zoo.load_detector): SCRFD det_10g.onnx primary and/or
+    # FaceDetectorNet .npz fallback; at least one required
+    scrfd_onnx: str = ""
     detector_params: str = ""
+    scrfd_input_size: tuple[int, int] = (640, 640)
     batch_size: int = 32
     chip_size: int = 224
     synthetic_smoke: bool = False  # CI mode: oracle detector + stats heads
 
 
 def _load_stack(cfg: EvalImagesConfig):
+    """-> (detect_fn(det_params, images), stack_params, head_fns) with all
+    weights in `stack_params` so the jitted analyze threads them as
+    arguments (the training-path convention, training/stack.py)."""
     if cfg.synthetic_smoke:
         from fairdiff.training.synthetic import oracle_detect, synthetic_classifier
 
         classify = synthetic_classifier()
-        return oracle_detect, {
-            "gender": lambda chips: classify(chips)[:, 0:2],
-            "race": lambda chips: classify(chips)[:, 2:6],
-            "age": lambda chips: classify(chips)[:, 6:8],
+        heads = {
+            "gender": lambda p, chips: classify(chips)[:, 0:2],
+            "race": lambda p, chips: classify(chips)[:, 2:6],
+            "age": lambda p, chips: classify(chips)[:, 6:8],
         }
+        params = {"detector": {}, "heads": {k: {} for k in heads}}
+        return (lambda p, images: oracle_detect(images)), params, heads
 
     from fairdiff.io.adapters_io import load_adapters
-    from fairdiff.models.face_detector import (
-        DetectorConfig, FaceDetectorNet, make_detect_fn,
-    )
     from fairdiff.models.mobilenet_v3 import MobileNetV3Large
+    from fairdiff.training.model_zoo import load_detector
 
-    det_cfg = DetectorConfig()
-    det_net = FaceDetectorNet(det_cfg)
-    det_params = load_adapters(cfg.detector_params)
-    detect_fn = make_detect_fn(det_net, det_params, det_cfg)
+    detect_fn, det_params = load_detector(
+        cfg.scrfd_onnx or None,
+        cfg.detector_params or None,
+        # eval runs the detector in its stored f32, as the reference's
+        # onnxruntime eval does (eval-generated-images.py:574-580)
+        dtype=jnp.float32,
+        scrfd_input_size=tuple(cfg.scrfd_input_size),
+    )
 
-    heads = {}
+    heads, head_params = {}, {}
     for name, path, n_cls in (
         ("gender", cfg.gender_classifier, 2),
         ("race", cfg.race_classifier, 4),
@@ -76,26 +95,30 @@ def _load_stack(cfg: EvalImagesConfig):
         if not path:
             continue
         net = MobileNetV3Large(num_classes=n_cls)
-        params = load_adapters(path)
+        head_params[name] = load_adapters(path)
         heads[name] = (
-            lambda chips, net=net, params=params: net.apply({"params": params}, chips)
+            lambda p, chips, net=net: net.apply({"params": p}, chips)
         )
-    return detect_fn, heads
+    return detect_fn, {"detector": det_params, "heads": head_params}, heads
 
 
 def main(cfg: EvalImagesConfig) -> dict:
     cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
-    detect_fn, heads = _load_stack(cfg)
+    detect_fn, stack_params, heads = _load_stack(cfg)
     root = Path(cfg.generated_imgs_dir)
     save_root = Path(cfg.save_dir)
     save_root.mkdir(parents=True, exist_ok=True)
 
     @jax.jit
-    def analyze(batch):
-        faces = analyze_faces(batch, detect_fn(batch), chip_size=cfg.chip_size)
+    def analyze(params, batch):
+        faces = analyze_faces(
+            batch, detect_fn(params["detector"], batch), chip_size=cfg.chip_size
+        )
         logits = {
             name: jnp.where(
-                faces.indicators[:, None], head(faces.chips).astype(jnp.float32), -1.0
+                faces.indicators[:, None],
+                head(params["heads"].get(name), faces.chips).astype(jnp.float32),
+                -1.0,
             )
             for name, head in heads.items()
         }
@@ -110,7 +133,7 @@ def main(cfg: EvalImagesConfig) -> dict:
         inds, bboxes, logits = [], [], {k: [] for k in heads}
         for s in range(0, len(imgs), cfg.batch_size):
             batch = jnp.asarray(imgs[s : s + cfg.batch_size])
-            i, b, lg = analyze(batch)
+            i, b, lg = analyze(stack_params, batch)
             inds.append(np.asarray(i))
             bboxes.append(np.asarray(b))
             for k in heads:

@@ -46,6 +46,19 @@ class TrainCLIConfig:
     # mesh_model in {1, 2, 4} (UNet 8 heads, TE 12).
     mesh_data: int = 1
     mesh_model: int = 1
+    # multi-host SPMD: --distributed true calls jax.distributed.initialize
+    # before device enumeration, so jax.device_count() spans every host's
+    # chips and the ("data","model") mesh lays lanes across the full slice
+    # (ICI within a slice, DCN across slices — handled by XLA, not us).
+    # On TPU pods the coordinator/process args auto-detect from the TPU
+    # runtime environment; set them explicitly only off-pod. The default
+    # (false) is the single-host v4-8 target, where initialize() is
+    # unnecessary — this replaces the reference's accelerate_config.yaml
+    # launcher topology (SURVEY.md L0, exp-1:664-670).
+    distributed: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     experiment: str = "exp1"
     # SD architecture preset: "sd15" (production) or "tiny" (fixture-scale
     # converted checkpoints — the real-weights-contract e2e path; unlike
@@ -155,7 +168,29 @@ def tokenize_prompts(sd, tokenizer, prompts: list[str]):
     return out
 
 
+def init_distributed(cfg: TrainCLIConfig) -> None:
+    """Guarded multi-host bring-up: a no-op unless --distributed true.
+    Must run before any other jax call (device enumeration is frozen at
+    first use)."""
+    if not cfg.distributed:
+        return
+    kwargs = {}
+    if cfg.coordinator_address:
+        kwargs["coordinator_address"] = cfg.coordinator_address
+    if cfg.num_processes:
+        kwargs["num_processes"] = cfg.num_processes
+    if cfg.process_id >= 0:
+        kwargs["process_id"] = cfg.process_id
+    jax.distributed.initialize(**kwargs)
+    print(
+        f"[train] distributed: process {jax.process_index()}/"
+        f"{jax.process_count()}, {jax.local_device_count()} local / "
+        f"{jax.device_count()} global devices"
+    )
+
+
 def main(cfg: TrainCLIConfig):
+    init_distributed(cfg)
     cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
     sd, trainer, dcfg = build_trainer(cfg)
     tokenizer = load_tokenizer(cfg.tokenizer_dir or None)

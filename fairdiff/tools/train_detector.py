@@ -10,6 +10,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from fairdiff.guidance.detector_train import detection_loss, synthetic_batches
@@ -38,6 +39,16 @@ class DetTrainConfig:
     # the eval suite probes (docs/DETECTOR.md r4); "base": the r1 renderer
     scenes: str = "dr"
     eval_scenes: int = 256  # 0 disables the held-out eval
+    # online hard-negative mining (r5, DETECTOR.md): from
+    # mine_start_frac of training on, each step renders mine_pool
+    # candidate face-free scenes, scores them with the CURRENT weights,
+    # and appends the top-scoring mine_k to the batch — targeted score
+    # suppression that pulls the DR model's false-positive rates back
+    # toward the base model's without retraining away its recall gains.
+    # mine_k=0 disables (restores the r4 recipe exactly).
+    mine_k: int = 4
+    mine_pool: int = 64
+    mine_start_frac: float = 0.4
 
 
 def main(cfg: DetTrainConfig):
@@ -65,8 +76,38 @@ def main(cfg: DetTrainConfig):
         neg_frac=cfg.neg_frac, distractors=cfg.distractors,
         scenes=cfg.scenes,
     )
+
+    from fairdiff.guidance.detector_train import (
+        render_negative_scene, render_negative_scene_dr,
+    )
+    from fairdiff.models.face_detector import decode_detections
+
+    neg_render = (
+        render_negative_scene_dr if cfg.scenes == "dr" else render_negative_scene
+    )
+    mine_rng = np.random.default_rng(cfg.seed + 31337)
+
+    @jax.jit
+    def max_scores(params, imgs):
+        raw = net.apply({"params": params}, imgs)
+        scores, _, _ = decode_detections(raw, det_cfg)
+        return scores.max(-1)
+
+    mine_start = int(cfg.steps * cfg.mine_start_frac)
     for i in range(cfg.steps):
         imgs, boxes, lms = next(batches)
+        if cfg.mine_k and i >= mine_start:
+            pool = [neg_render(mine_rng, cfg.image_size) for _ in range(cfg.mine_pool)]
+            pimgs = np.stack([p[0] for p in pool])
+            s = np.asarray(max_scores(params, jnp.asarray(pimgs)))
+            top = np.argsort(-s)[: cfg.mine_k]
+            imgs = np.concatenate([imgs, pimgs[top]])
+            boxes = np.concatenate(
+                [boxes, np.full((cfg.mine_k, 4), -1.0, np.float32)]
+            )
+            lms = np.concatenate(
+                [lms, np.full((cfg.mine_k, 5, 2), -1.0, np.float32)]
+            )
         params, opt, loss, aux = step(
             params, opt, jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(lms)
         )

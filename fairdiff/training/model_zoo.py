@@ -57,6 +57,56 @@ def _slices_for(attributes: tuple[str, ...]):
     raise ValueError(attributes)
 
 
+def load_detector(
+    scrfd_onnx: str | Path | None,
+    detector_npz: str | Path | None,
+    *,
+    dtype=jnp.bfloat16,
+    scrfd_input_size: tuple[int, int] = (640, 640),
+):
+    """Assemble the detection stack from weight paths — the SAME two-stage
+    composition for training and offline eval (the reference runs identical
+    insightface->dlib detection in both: exp-1:1192-1215 and
+    eval-generated-images.py:343-366,:574-580). SCRFD (exact reference
+    weights via the onnx bridge) is the primary; the first-party
+    FaceDetectorNet fills lanes SCRFD misses. With only one path given,
+    that detector runs alone. Returns (detect_fn(params, images), params).
+    """
+    from fairdiff.io.checkpoints import cast_floats
+
+    onnx_fn = net_fn = None
+    if scrfd_onnx:
+        from fairdiff.io.onnx_bridge import load_scrfd
+
+        onnx_fn, onnx_params = load_scrfd(
+            str(scrfd_onnx), input_size=scrfd_input_size
+        )
+        # keep the onnx graph in its stored f32: the reference executes
+        # this detector in fp32 through onnxruntime (exp-1:938-945), the
+        # weights are ~17MB, and box-regression heads are precision-
+        # sensitive; the bridge runs whatever dtype the tree carries
+    if detector_npz:
+        det_cfg = DetectorConfig()
+        det_net = FaceDetectorNet(det_cfg, dtype=dtype)
+        net_params = cast_floats(load_adapters(detector_npz), dtype)
+        net_fn = make_detect_fn(det_net, det_cfg)
+    if onnx_fn and net_fn:
+        from fairdiff.guidance.faces import compose_detect_fns
+
+        return (
+            compose_detect_fns(onnx_fn, net_fn),
+            {"primary": onnx_params, "fallback": net_params},
+        )
+    if onnx_fn:
+        return onnx_fn, onnx_params
+    if net_fn:
+        return net_fn, net_params
+    raise FileNotFoundError(
+        "no detector weights: need a SCRFD det_10g.onnx (reference "
+        "weights) and/or a detector .npz (tools/train_detector output)"
+    )
+
+
 def load_guidance_stack(
     directory: str | Path,
     attributes: tuple[str, ...],
@@ -73,38 +123,11 @@ def load_guidance_stack(
     # frozen weights live in `dtype` (bf16 default — reference fp16 cast).
     params: dict = {}
 
-    # Two-stage detection parity (exp-1:1192-1215 insightface + dlib
-    # fallback): SCRFD (exact reference weights via the onnx bridge) is the
-    # primary; the first-party FaceDetectorNet fills lanes SCRFD misses.
-    # With only one weight file present, that detector runs alone.
-    onnx_fn = net_fn = None
-    if (d / "det_10g.onnx").exists():
-        from fairdiff.io.onnx_bridge import load_scrfd
-
-        onnx_fn, onnx_params = load_scrfd(str(d / "det_10g.onnx"))
-        # keep the onnx graph in its stored f32: the reference executes
-        # this detector in fp32 through onnxruntime (exp-1:938-945), the
-        # weights are ~17MB, and box-regression heads are precision-
-        # sensitive; the bridge runs whatever dtype the tree carries
-    if (d / "detector.npz").exists():
-        det_cfg = DetectorConfig()
-        det_net = FaceDetectorNet(det_cfg, dtype=dtype)
-        net_params = cast_floats(load_adapters(d / "detector.npz"), dtype)
-        net_fn = make_detect_fn(det_net, det_cfg)
-    if onnx_fn and net_fn:
-        from fairdiff.guidance.faces import compose_detect_fns
-
-        detect_fn = compose_detect_fns(onnx_fn, net_fn)
-        params["detector"] = {"primary": onnx_params, "fallback": net_params}
-    elif onnx_fn:
-        detect_fn, params["detector"] = onnx_fn, onnx_params
-    elif net_fn:
-        detect_fn, params["detector"] = net_fn, net_params
-    else:
-        raise FileNotFoundError(
-            f"no detector weights in {d}: need det_10g.onnx (reference "
-            "SCRFD) and/or detector.npz (tools/train_detector output)"
-        )
+    detect_fn, params["detector"] = load_detector(
+        (d / "det_10g.onnx") if (d / "det_10g.onnx").exists() else None,
+        (d / "detector.npz") if (d / "detector.npz").exists() else None,
+        dtype=dtype,
+    )
 
     mnv3 = MobileNetV3Large(num_classes=n_logits, dtype=dtype)
     params["classifier"] = cast_floats(load_adapters(d / "classifier.npz"), dtype)

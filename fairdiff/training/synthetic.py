@@ -40,10 +40,34 @@ def synthetic_classifier(num_attrs: int = 1):
     def classify(chips: jax.Array) -> jax.Array:
         m = chips.mean(axis=(1, 2))  # [N, 3]
         gender = jnp.stack([m[:, 0] - m[:, 1], m[:, 1] - m[:, 0]], -1) * 5.0
+        # Race logits are QUADRANT CONTRASTS, not global channel means.
+        # The earlier global-mean race head made the exp-3 OT demo
+        # degenerate two ways (both observed, r5): at x5 the posteriors
+        # were so flat that every sampled transport plan disagreed, and
+        # sharpened global means made all lanes argmax the SAME class
+        # with near-identical probs — either way 1-max marginal
+        # uncertainty sat above the production 0.2 gate (exp-3:
+        # 2022-2023) and the race CE signal silently vanished. Zero-mean
+        # spatial contrasts vary in sign across noise draws (lane
+        # diversity, like real SD samples vary in perceived race), are
+        # sharp at x12, and remain trainable (the model can shape
+        # quadrant structure). Gender stays at x5 global means — the
+        # exp-1 convergence regression pins its dynamics.
+        h2, w2 = chips.shape[1] // 2, chips.shape[2] // 2
+        tl = chips[:, :h2, :w2].mean(axis=(1, 2))
+        tr = chips[:, :h2, w2:].mean(axis=(1, 2))
+        bl = chips[:, h2:, :w2].mean(axis=(1, 2))
+        br = chips[:, h2:, w2:].mean(axis=(1, 2))
         race = jnp.stack(
-            [m[:, 0], m[:, 1], m[:, 2], (m[:, 0] + m[:, 1]) / 2], -1
-        ) * 5.0
-        age = jnp.stack([m[:, 2] - m[:, 0], m[:, 0] - m[:, 2]], -1) * 5.0
+            [
+                tl[:, 0] - br[:, 0],
+                tr[:, 1] - bl[:, 1],
+                bl[:, 2] - tr[:, 2],
+                br[:, 0] - tl[:, 1],
+            ],
+            -1,
+        ) * 12.0
+        age = jnp.stack([m[:, 2] - m[:, 0], m[:, 0] - m[:, 2]], -1) * 15.0
         return jnp.concatenate([gender, race, age], axis=-1)
 
     return classify

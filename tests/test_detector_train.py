@@ -85,3 +85,65 @@ def dataclassish(cfg, thr):
     import dataclasses
 
     return dataclasses.replace(cfg, score_threshold=thr)
+
+
+def test_small_face_anchor_rescue():
+    """The r5 nearest-center rescue on the smallest level: a face below
+    the standard [2*stride, 10*stride) gate (or whose central-half
+    window is narrower than the grid spacing) gets EXACTLY the grid
+    point nearest its center as a positive; face-free -1 boxes still
+    yield zero positives; and the old behaviour is reproduced with
+    rescue_floor=None (docs/DETECTOR.md scale_small ceiling)."""
+    from fairdiff.guidance.detector_train import _level_targets
+
+    stride, hw = 8, (16, 16)
+    # 14.5 px face (scale ~0.13 of the 112 template): below the 16 px
+    # standard gate -> zero positives without the rescue
+    small = jnp.asarray([[60.0, 60.0, 74.0, 75.0]])
+    lms = jnp.zeros((1, 5, 2))
+    pos_old, _, _ = _level_targets(small, lms, hw, stride, 1)
+    assert float(pos_old.sum()) == 0.0
+    pos_new, _, _ = _level_targets(
+        small, lms, hw, stride, 1, rescue_floor=1.25 * stride
+    )
+    assert float(pos_new.sum()) == 1.0
+    # the positive is the grid point nearest the face center (67.5, 67.5)
+    idx = np.unravel_index(int(jnp.argmax(pos_new[0, :, :, 0])), hw)
+    assert idx == (8, 8)  # grid point (64, 64)
+
+    # mid-band face whose +-bw/4 window is narrower than the spacing:
+    # inside-test can yield zero anchors; the rescue guarantees one
+    tight = jnp.asarray([[61.0, 61.0, 78.0, 78.0]])  # 17 px, window +-4.25
+    pos_t, _, _ = _level_targets(
+        tight, lms, hw, stride, 1, rescue_floor=1.25 * stride
+    )
+    assert float(pos_t.sum()) >= 1.0
+
+    # below even the rescue floor (8 px face): still zero positives —
+    # training must not learn to fire on unassignable scales
+    micro = jnp.asarray([[60.0, 60.0, 68.0, 68.0]])
+    pos_m, _, _ = _level_targets(
+        micro, lms, hw, stride, 1, rescue_floor=1.25 * stride
+    )
+    assert float(pos_m.sum()) == 0.0
+
+    # -1 fill (no face): zero positives with and without rescue
+    neg = jnp.full((1, 4), -1.0)
+    pos_n, _, _ = _level_targets(
+        neg, lms, hw, stride, 1, rescue_floor=1.25 * stride
+    )
+    assert float(pos_n.sum()) == 0.0
+
+
+def test_detection_loss_assigns_small_faces():
+    """detection_loss with the production strides now yields positive
+    anchors for a 13.4 px face (scale 0.12 — the scale_small eval
+    floor), which had NO anchors under the r4 gates."""
+    cfg = DetectorConfig.tiny()
+    net = FaceDetectorNet(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    params = net.init(jax.random.key(0), imgs)["params"]
+    boxes = jnp.asarray([[30.0, 30.0, 43.4, 43.4]])
+    lms = jnp.full((1, 5, 2), 36.0)
+    _, aux = detection_loss(net, params, imgs, boxes, lms, cfg)
+    assert float(aux["n_pos"]) >= 1.0

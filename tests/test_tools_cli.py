@@ -418,3 +418,100 @@ def test_guidance_zoo_two_stage_detector(tmp_path):
     save_adapters(empty / "classifier.npz", {"w": np.zeros((1,), np.float32)})
     with pytest.raises(FileNotFoundError):
         load_guidance_stack(empty, ("gender",))
+
+
+def test_eval_images_two_stage_scrfd_parity(tmp_path):
+    """tools/eval_images runs the SAME detector stack as training: with
+    scrfd_onnx + detector_params both set, _load_stack composes
+    SCRFD-primary + FaceDetectorNet-fallback via model_zoo.load_detector
+    (the reference eval's insightface->dlib two-stage,
+    eval-generated-images.py:343-366,:574-580), and the e2e run writes
+    the reference pkl/grid artifacts. A fallback-only config and an
+    scrfd-only config both keep working."""
+    import jax
+    import jax.numpy as jnp
+    from test_onnx_bridge import _scrfd_like_model
+
+    from fairdiff.io.adapters_io import save_adapters
+    from fairdiff.io.images import save_image
+    from fairdiff.models.face_detector import DetectorConfig, FaceDetectorNet
+    from fairdiff.models.mobilenet_v3 import MobileNetV3Large
+    from fairdiff.tools.eval_images import (
+        EvalImagesConfig, _load_stack, main as eval_main,
+    )
+
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    (zoo / "det_10g.onnx").write_bytes(_scrfd_like_model())
+    det_net = FaceDetectorNet(DetectorConfig())
+    save_adapters(
+        zoo / "detector.npz",
+        det_net.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"],
+    )
+    mnv3 = MobileNetV3Large(num_classes=2)
+    save_adapters(
+        zoo / "gender.npz",
+        mnv3.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))["params"],
+    )
+
+    imgs_dir = tmp_path / "imgs" / "prompt_0"
+    imgs_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        save_image(rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32),
+                   imgs_dir / f"img_{i}.jpg")
+
+    cfg = EvalImagesConfig(
+        generated_imgs_dir=str(tmp_path / "imgs"),
+        save_dir=str(tmp_path / "eval"),
+        scrfd_onnx=str(zoo / "det_10g.onnx"),
+        detector_params=str(zoo / "detector.npz"),
+        gender_classifier=str(zoo / "gender.npz"),
+        scrfd_input_size=(32, 32),
+        batch_size=2,
+        chip_size=64,
+    )
+    detect_fn, params, heads = _load_stack(cfg)
+    # the composed two-stage: both weight trees threaded through jit
+    assert set(params["detector"]) == {"primary", "fallback"}
+    assert set(heads) == {"gender"}
+
+    res = eval_main(cfg)
+    assert "prompt_0" in res
+    with open(tmp_path / "eval" / "prompt_0_test_results.pkl", "rb") as f:
+        payload = pickle.load(f)
+    assert len(payload) == 5  # [inds, bboxs, gender, race, age] (ref order)
+    assert payload[2] is not None and payload[3] is None and payload[4] is None
+    assert (tmp_path / "eval" / "prompt_0_grid.jpg").exists()
+
+    # fallback-only (no SCRFD file) still loads and runs — the pre-r5 mode
+    cfg_fb = EvalImagesConfig(
+        generated_imgs_dir=str(tmp_path / "imgs"),
+        save_dir=str(tmp_path / "eval_fb"),
+        detector_params=str(zoo / "detector.npz"),
+        gender_classifier=str(zoo / "gender.npz"),
+        batch_size=2, chip_size=64,
+    )
+    _, p_fb, _ = _load_stack(cfg_fb)
+    assert "primary" not in p_fb["detector"]
+    assert eval_main(cfg_fb)
+
+    # scrfd-only: primary alone, no fallback tree
+    cfg_sc = EvalImagesConfig(
+        generated_imgs_dir=str(tmp_path / "imgs"),
+        save_dir=str(tmp_path / "eval_sc"),
+        scrfd_onnx=str(zoo / "det_10g.onnx"),
+        gender_classifier=str(zoo / "gender.npz"),
+        scrfd_input_size=(32, 32),
+        batch_size=2, chip_size=64,
+    )
+    _, p_sc, _ = _load_stack(cfg_sc)
+    assert "fallback" not in p_sc["detector"]
+    assert eval_main(cfg_sc)
+
+    # neither detector file is a hard error, not a silent weaker stack
+    with pytest.raises(FileNotFoundError):
+        _load_stack(EvalImagesConfig(
+            generated_imgs_dir=str(tmp_path / "imgs"),
+            gender_classifier=str(zoo / "gender.npz"),
+        ))
