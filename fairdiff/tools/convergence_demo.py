@@ -37,7 +37,12 @@ class DemoConfig:
     experiment: str = "exp1"
     steps: int = 120
     learning_rate: float = 2e-3  # tiny models need a larger lr to move
-    train_images_per_prompt: int = 8
+    # 0 = auto: 8 lanes for exp1 (the pinned regression dynamics), 16
+    # for exp3 — a 16-lane batch over 8 joint classes gives the sampled
+    # OT enough room that a useful fraction of race targets clears the
+    # production uncertainty gate (at 8 lanes the assignment is
+    # near-degenerate and most targets gate to -1; measured r5)
+    train_images_per_prompt: int = 0
     train_micro_batch: int = 4
     ot_num_samples: int = 50  # exp3 demo: draws per step (prod preset: 200)
     # NOTE: random-init tiny models have arbitrary per-seed dynamics — some
@@ -65,11 +70,14 @@ def main(cfg: DemoConfig) -> None:
 
     sd = StableDiffusion(SDConfig.tiny())
     params = sd.init_params(jax.random.key(cfg.seed))
+    lanes = cfg.train_images_per_prompt or (
+        16 if cfg.experiment == "exp3" else 8
+    )
     common = dict(
         train_text_encoder=True,
         lora_rank=2,
         learning_rate=cfg.learning_rate,
-        train_images_per_prompt=cfg.train_images_per_prompt,
+        train_images_per_prompt=lanes,
         train_micro_batch=cfg.train_micro_batch,
         steps_low=2,
         steps_high=2,
