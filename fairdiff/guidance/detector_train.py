@@ -113,7 +113,8 @@ def render_negative_scene(
 
 
 def render_face_scene_dr(
-    rng: np.random.Generator, size: int = 128
+    rng: np.random.Generator, size: int = 128,
+    lead_scale_range: tuple[float, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Domain-randomized face scene (round-4 robustness training).
 
@@ -144,20 +145,28 @@ def render_face_scene_dr(
         t = rng.uniform()
         return light * (1 - t) + dark * t + rng.normal(0, 0.04, 3)
 
-    # scale floor 0.095: the standard anchor gates assign sqrt(bw*bh) in
+    # scale floor 0.12: the standard anchor gates assign sqrt(bw*bh) in
     # [stride*2, stride*10) px over strides (8,16,32) = [16, 320) px; the
     # r5 nearest-center rescue on the stride-8 level (_level_targets
-    # rescue_floor=10 px) extends assignability down to a ~112*s px face
-    # at s≈0.09. Below THAT no positive anchor exists and training would
-    # teach the score head to suppress real faces, so the renderer floor
-    # tracks the rescue floor with a small margin (was 0.15 when the
-    # assignable floor was 16 px — the scale_small ceiling DETECTOR.md r4
-    # diagnosed).
-    n_faces = 1 if rng.uniform() < 0.7 else int(rng.integers(2, 4))
+    # rescue_floor=10 px) makes every face down to s≈0.12 (13.4 px)
+    # assignable, so the renderer floor now matches the eval suite's
+    # scale_small low end instead of the old 16 px ceiling (0.15).
+    # Floor 0.095 was MEASURED WORSE (DETECTOR.md r5): faces below the
+    # eval range dilute capacity and drag box/landmark regression
+    # quality down across every shift (mean IoU 0.89 -> 0.80).
+    # lead_scale_range overrides the lead face's scale band (used by the
+    # hard-positive side of train_detector's mining phase to keep
+    # small-face recall pressured while mined negatives teach
+    # suppression); single-face in that mode so the override stays the
+    # largest-face ground truth
+    if lead_scale_range is not None:
+        n_faces = 1
+    else:
+        n_faces = 1 if rng.uniform() < 0.7 else int(rng.integers(2, 4))
     best = None
     for i in range(n_faces):
         scale_range = (
-            (0.095, 1.35) if i == 0 else (0.095, 0.5)
+            (lead_scale_range or (0.12, 1.35)) if i == 0 else (0.12, 0.5)
         )
         lo, hi = np.log(scale_range[0]), np.log(scale_range[1])
         s = float(np.exp(rng.uniform(lo, hi)))

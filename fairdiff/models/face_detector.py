@@ -36,11 +36,22 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:
-    strides: tuple[int, ...] = (8, 16, 32)
+    # stride 4 (the P2 level) is first-party beyond SCRFD's (8,16,32):
+    # the standard scale gate assigns sqrt(bw*bh) in [2*stride, 10*stride)
+    # px, so without it faces under 16 px had no inside-window anchors —
+    # the scale_small recall ceiling DETECTOR.md r4/r5 measured. P2
+    # covers 8-40 px with real multi-anchor windows.
+    strides: tuple[int, ...] = (4, 8, 16, 32)
     num_anchors: int = 2
     width: int = 32  # backbone stem width
     head_width: int = 64
-    score_threshold: float = 0.5
+    # 0.6 measured STRICTLY better than 0.5 for the shipped P2 weights
+    # (DETECTOR.md r5): fp 0.09-0.16 -> 0.016-0.070 AND scale_small
+    # recall 0.855 -> 0.914 (the higher bar filters spurious boxes that
+    # outscored the true face in largest-area selection). Only the
+    # first-party net reads this default; load_scrfd pins its own 0.5
+    # (insightface det_thresh parity).
+    score_threshold: float = 0.6
     # FaceDetectorNet emits raw logits; the reference's SCRFD ONNX graphs
     # end score heads with a Sigmoid node (insightface compares them to
     # det_thresh directly), so the ONNX path must NOT sigmoid again
@@ -90,21 +101,29 @@ class FaceDetectorNet(nn.Module):
         w = cfg.width
         x = nn.Conv(w, (3, 3), strides=2, padding=1, dtype=self.dtype, name="stem")(images)
         x = jax.nn.relu(x)
-        x = _Block(w, 2, self.dtype, name="c2_block")(x)  # stride 4
-        c3 = _Block(w * 2, 2, self.dtype, name="c3_block")(x)  # stride 8
+        c2 = _Block(w, 2, self.dtype, name="c2_block")(x)  # stride 4
+        c3 = _Block(w * 2, 2, self.dtype, name="c3_block")(c2)  # stride 8
         c4 = _Block(w * 4, 2, self.dtype, name="c4_block")(c3)  # stride 16
         c5 = _Block(w * 8, 2, self.dtype, name="c5_block")(c4)  # stride 32
 
-        # FPN
+        # FPN over whichever pyramid levels cfg.strides requests
         f = cfg.head_width
-        p5 = nn.Conv(f, (1, 1), dtype=self.dtype, name="lat5")(c5)
-        p4 = nn.Conv(f, (1, 1), dtype=self.dtype, name="lat4")(c4)
-        p3 = nn.Conv(f, (1, 1), dtype=self.dtype, name="lat3")(c3)
-        p4 = p4 + jax.image.resize(p5, p4.shape, "nearest")
-        p3 = p3 + jax.image.resize(p4, p3.shape, "nearest")
+        backbone = {4: c2, 8: c3, 16: c4, 32: c5}
+        strides = sorted(cfg.strides, reverse=True)  # top-down
+        prev = None
+        by_stride = {}
+        for s in strides:
+            p = nn.Conv(f, (1, 1), dtype=self.dtype, name=f"lat_s{s}")(
+                backbone[s]
+            )
+            if prev is not None:
+                p = p + jax.image.resize(prev, p.shape, "nearest")
+            by_stride[s] = p
+            prev = p
         feats = [
-            nn.Conv(f, (3, 3), padding=1, dtype=self.dtype, name=f"smooth{i}")(p)
-            for i, p in enumerate((p3, p4, p5))
+            nn.Conv(f, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"smooth_s{s}")(by_stride[s])
+            for s in cfg.strides
         ]
 
         # shared head (same Conv instances applied per level => shared params)

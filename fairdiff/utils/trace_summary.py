@@ -36,6 +36,13 @@ def _latest_trace_file(log_dir: str | Path) -> Path:
 _BUCKET_RES = [
     ("conv", re.compile(r"^%?(convolution|conv)")),
     ("matmul", re.compile(r"^%?(dot|cublas|gemm)")),
+    # split the first-party flash kernels before the catch-all
+    # attention bucket (the roofline ledger needs fwd/dq/dkv apart)
+    ("flash-dq", re.compile(r"bwd_dq", re.I)),
+    ("flash-dkv", re.compile(r"bwd_dkv", re.I)),
+    ("flash-merged", re.compile(r"bwd_merged", re.I)),
+    ("flash-fwd", re.compile(r"flash_kernel", re.I)),
+    ("geglu", re.compile(r"geglu|_dx_kernel", re.I)),
     ("attention-pallas", re.compile(r"flash|attn", re.I)),
     ("pallas", re.compile(r"custom-call|tpu_custom_call", re.I)),
     ("reduce", re.compile(r"^%?(reduce|convert_reduce)|_reduce_fusion")),

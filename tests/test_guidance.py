@@ -31,10 +31,11 @@ def test_detector_shapes_and_decode():
     imgs = jnp.zeros((2, 64, 64, 3))
     params = net.init(jax.random.key(0), imgs)["params"]
     raw = net.apply({"params": params}, imgs)
-    assert len(raw["score"]) == 3
-    assert raw["score"][0].shape == (2, 8, 8, cfg.num_anchors)
+    # r5: a stride-4 P2 level joins SCRFD's (8,16,32) for small faces
+    assert len(raw["score"]) == 4
+    assert raw["score"][0].shape == (2, 16, 16, cfg.num_anchors)
     scores, boxes, kps = decode_detections(raw, cfg)
-    k = (8 * 8 + 4 * 4 + 2 * 2) * cfg.num_anchors
+    k = (16 * 16 + 8 * 8 + 4 * 4 + 2 * 2) * cfg.num_anchors
     assert scores.shape == (2, k)
     assert boxes.shape == (2, k, 4)
     assert kps.shape == (2, k, 5, 2)
