@@ -36,15 +36,24 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 BLOCK_S = 512
-# 1024-wide K/V tiles measured ~6% faster fwd+bwd than 512 at the 4096-token
-# SD self-attention on v5e (fewer online-softmax iterations); short sequences
-# fall back so t_pad doesn't over-round (see _block_t)
-BLOCK_T = 1024
+# K/V tile width. r5 on-chip sweep at the 4096-token SD self-attention
+# (tools/roofline --mode flash, v5e, ms/call for the fwd kernel):
+#   straight kernel:  512 -> 11.68, 1024 -> 10.13, 2048 -> 10.09, 4096 -> 9.86
+#   pipelined kernel: 1024 -> 11.67, 2048 -> **9.23** (default)
+# 2048 with the software-pipelined forward is the measured optimum (two
+# tiles, the second QK dot overlapping the first tile's softmax VPU
+# work); dq also prefers wide tiles (10.79 @1024 -> 10.54 @2048).
+# FAIRDIFF_FLASH_BLOCK_T overrides for on-chip sweeps.
+BLOCK_T = 2048
 LANES = 128
 
 
 def _block_t(T: int) -> int:
-    return BLOCK_T if T >= BLOCK_T else 512
+    bt = int(os.environ.get("FAIRDIFF_FLASH_BLOCK_T", "0")) or BLOCK_T
+    # clamp to the (512-rounded) sequence so mid-length sequences get a
+    # single full-width tile instead of falling to 512 (T=1024 with
+    # bt=2048 -> 1024, one tile; T=77 -> 512)
+    return max(512, min(bt, -(-T // 512) * 512))
 
 
 def _flash_kernel(
@@ -93,6 +102,64 @@ def _flash_kernel(
     m0 = jnp.full((BLOCK_S, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((BLOCK_S, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_t, body, (acc0, m0, l0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (BLOCK_S, LANES))
+
+
+def _flash_kernel_pipe(
+    q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, scale: float, t_valid: int,
+    block_t: int,
+):
+    """Software-pipelined forward: the QK dot for k-tile i is issued
+    BEFORE the softmax/rescale VPU work of tile i-1, so Mosaic can
+    overlap the MXU pass with the exp's VPU time (the r5 roofline
+    measured the straight-line kernel as a SERIALIZED MXU+VPU sum:
+    self4096 fwd 10.1 ms ≈ 5.6 ms ideal MXU + ~4.5 ms exp, zero
+    overlap). Math identical to _flash_kernel. Default since r5 (9.23
+    vs 10.13 ms at self4096 with BLOCK_T=2048); note the overlap only
+    pays at few-iteration tile counts — at BLOCK_T=1024 (4 tiles) the
+    2 MB loop-carried score block made it SLOWER (11.67 ms), the same
+    loop-carry lesson as the r4 merged backward."""
+    q = q_ref[0]
+    n_t = k_ref.shape[1] // block_t
+
+    def compute_s(i):
+        k = k_ref[0, pl.ds(i * block_t, block_t), :]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
+        return jnp.where(col < t_valid, s, -jnp.inf)
+
+    def consume(i, carry, s_prev):
+        """Online-softmax update for tile i using its scores s_prev."""
+        acc, m_prev, l_prev = carry
+        v = v_ref[0, pl.ds(i * block_t, block_t), :]
+        m_new = jnp.maximum(m_prev, s_prev.max(axis=1, keepdims=True))
+        p = jnp.exp(s_prev - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    def body(i, carry):
+        *softmax_carry, s_prev = carry
+        s_cur = compute_s(i)  # MXU pass for tile i, issued first
+        acc, m, l = consume(i - 1, tuple(softmax_carry), s_prev)
+        return acc, m, l, s_cur
+
+    acc0 = jnp.zeros((BLOCK_S, q_ref.shape[-1]), jnp.float32)
+    m0 = jnp.full((BLOCK_S, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((BLOCK_S, 1), jnp.float32)
+    acc, m, l, s_last = jax.lax.fori_loop(
+        1, n_t, body, (acc0, m0, l0, compute_s(0))
+    )
+    acc, m, l = consume(n_t - 1, (acc, m, l), s_last)
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     if lse_ref is not None:
@@ -152,8 +219,16 @@ def _flash_forward(q, k, v, with_lse: bool = False):
                 memory_space=pltpu.VMEM,
             )
         )
+    # pipelined forward is the r5 default (9.23 vs 10.13 ms at self4096,
+    # see BLOCK_T note); FAIRDIFF_FLASH_FWD_PIPE=0 restores the
+    # straight-line kernel. With a single k-tile the two are identical.
+    kern = (
+        _flash_kernel
+        if os.environ.get("FAIRDIFF_FLASH_FWD_PIPE") == "0"
+        else _flash_kernel_pipe
+    )
     res = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, t_valid=T, block_t=bt),
+        functools.partial(kern, scale=scale, t_valid=T, block_t=bt),
         out_shape=out_shapes,
         grid=(B * H, s_pad // BLOCK_S),
         in_specs=[qo_spec, kv_spec, kv_spec],
