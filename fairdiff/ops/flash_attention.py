@@ -296,6 +296,14 @@ def _bwd_dkv_kernel(
         do = do_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :]
         lse = lse_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :][:, :1]
         dlt = dlt_ref[0, pl.ds(j * BLOCK_S, BLOCK_S), :][:, :1]
+        # NOTE (r5 measured dead end): reordering the independent
+        # dO·V^T dot ahead of the exp — the trick that pays in the
+        # pipelined forward — does NOT fit here: s and dp live together
+        # push the kernel 296K over the 16M scoped-vmem limit at
+        # 512-row q-chunks, and shrinking to 256-row chunks to fit
+        # costs more in MXU tiling than the overlap buys
+        # (19.50 vs 17.13 ms at self4096). The straight order below is
+        # the measured local optimum.
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BLOCK_S, BLOCK_T] fp32
