@@ -33,7 +33,9 @@ class DemoConfig:
     # "exp1": rank/binomial gender targets (the r2 committed run);
     # "exp3": gender x race sampled-OT joint targets — the OT-path
     # convergence evidence (exp-3-debias-gender-race/1-main-debias.py:
-    # 1460-1569 target math, :2077-2150 joint loss)
+    # 1460-1569 target math, :2077-2150 joint loss);
+    # "exp6": race-only enumerated-multinomial OT
+    # (exp-6-debias-race/1-main-debias.py:1414-1482)
     experiment: str = "exp1"
     steps: int = 120
     learning_rate: float = 2e-3  # tiny models need a larger lr to move
@@ -71,7 +73,7 @@ def main(cfg: DemoConfig) -> None:
     sd = StableDiffusion(SDConfig.tiny())
     params = sd.init_params(jax.random.key(cfg.seed))
     lanes = cfg.train_images_per_prompt or (
-        16 if cfg.experiment == "exp3" else 8
+        16 if cfg.experiment in ("exp3", "exp6") else 8
     )
     common = dict(
         train_text_encoder=True,
@@ -103,6 +105,20 @@ def main(cfg: DemoConfig) -> None:
             **common,
         )
         gap_key = "gender_race_gap"
+    elif cfg.experiment == "exp6":
+        dcfg = DebiasConfig(
+            attributes=("race",),
+            target_kind="enum",
+            factor1=(0.6,),
+            factor2=(0.3,),
+            uncertainty_thresholds=(0.2,),
+            no_face_img_weight_one=False,
+            face_search_all_lanes=True,
+            weight_loss_img=6.0,
+            weight_loss_face=0.1,
+            **common,
+        )
+        gap_key = "race_gap"
     else:
         dcfg = DebiasConfig(**common)
         gap_key = "gender_gap_abs"
