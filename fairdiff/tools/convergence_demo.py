@@ -35,7 +35,9 @@ class DemoConfig:
     # convergence evidence (exp-3-debias-gender-race/1-main-debias.py:
     # 1460-1569 target math, :2077-2150 joint loss);
     # "exp6": race-only enumerated-multinomial OT
-    # (exp-6-debias-race/1-main-debias.py:1414-1482)
+    # (exp-6-debias-race/1-main-debias.py:1414-1482);
+    # "exp4": gender x race x age 3-attr sampled OT with the asymmetric
+    # 75/25 age target (exp-4-debias-gender-race-age:1478-1620)
     experiment: str = "exp1"
     steps: int = 120
     learning_rate: float = 2e-3  # tiny models need a larger lr to move
@@ -72,9 +74,9 @@ def main(cfg: DemoConfig) -> None:
 
     sd = StableDiffusion(SDConfig.tiny())
     params = sd.init_params(jax.random.key(cfg.seed))
-    lanes = cfg.train_images_per_prompt or (
-        16 if cfg.experiment in ("exp3", "exp6") else 8
-    )
+    lanes = cfg.train_images_per_prompt or {
+        "exp3": 16, "exp6": 16, "exp4": 24,
+    }.get(cfg.experiment, 8)
     common = dict(
         train_text_encoder=True,
         lora_rank=2,
@@ -105,6 +107,24 @@ def main(cfg: DemoConfig) -> None:
             **common,
         )
         gap_key = "gender_race_gap"
+    elif cfg.experiment == "exp4":
+        # 24 lanes over the 16 joint classes: the exp-3 batch-size
+        # lesson (8 lanes over 8 classes is assignment-degenerate)
+        # applied to the 2x4x2 joint
+        dcfg = DebiasConfig(
+            attributes=("gender", "race", "age"),
+            target_kind="ot3",
+            factor1=(0.2, 0.6, 0.6),
+            factor2=(0.2, 0.3, 0.3),
+            uncertainty_thresholds=(0.2, 0.2, 0.2),
+            no_face_img_weight_one=False,
+            face_search_all_lanes=True,
+            ot_num_samples=cfg.ot_num_samples,
+            weight_loss_img=8.0,
+            weight_loss_face=0.1,
+            **common,
+        )
+        gap_key = "age_gap"
     elif cfg.experiment == "exp6":
         dcfg = DebiasConfig(
             attributes=("race",),

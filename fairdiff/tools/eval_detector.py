@@ -46,8 +46,9 @@ class DetEvalConfig:
     tiny: bool = False
     json_out: str = ""
     shifts: str = ""  # comma-separated subset; empty = all
-    # 0 keeps DetectorConfig's default (0.5); higher trades recall for a
-    # lower false-positive rate (the DR-trained fallback's knob)
+    # 0 keeps DetectorConfig's default (0.6 since r5 — measured strictly
+    # better for the shipped weights, DETECTOR.md); the knob trades
+    # recall against false-positive rate
     score_threshold: float = 0.0
 
 
