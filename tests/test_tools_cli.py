@@ -375,6 +375,17 @@ def test_convergence_demo_cli(tmp_path):
     assert "gender_gap_abs" in rec and "train_loss_fair" in rec
     assert (out / "curves" / "gender_gap_abs.png").exists()
 
+    # the r5 OT demo modes drive their engines through the same CLI
+    # (tiny lanes: execution smoke only — the committed 150-step runs
+    # in docs/convergence/ are the convergence evidence)
+    out6 = tmp_path / "conv6"
+    demo_main(DemoConfig(
+        experiment="exp6", steps=1, train_images_per_prompt=4,
+        output_dir=str(out6), plot=False,
+    ))
+    rec6 = json.loads((out6 / "metrics.jsonl").read_text().splitlines()[0])
+    assert "race_gap" in rec6
+
 
 def test_guidance_zoo_two_stage_detector(tmp_path):
     """With BOTH det_10g.onnx and detector.npz present the zoo composes
