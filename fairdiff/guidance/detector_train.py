@@ -103,7 +103,8 @@ def render_negative_scene(
     yields zero positives for it (degenerate box fails both the inside and
     the scale gate), so the loss reduces to pure score suppression."""
     img = rng.normal(0.0, 0.15, (size, size, 3)).astype(np.float32)
-    for _ in range(rng.integers(1, distractors + 1)):
+    n_blobs = int(rng.integers(1, distractors + 1)) if distractors > 0 else 0
+    for _ in range(n_blobs):
         _paint_blob(img, rng)
     return (
         np.clip(img, -1, 1),
@@ -145,15 +146,16 @@ def render_face_scene_dr(
         t = rng.uniform()
         return light * (1 - t) + dark * t + rng.normal(0, 0.04, 3)
 
-    # scale floor 0.12: the standard anchor gates assign sqrt(bw*bh) in
-    # [stride*2, stride*10) px over strides (8,16,32) = [16, 320) px; the
-    # r5 nearest-center rescue on the stride-8 level (_level_targets
-    # rescue_floor=10 px) makes every face down to s≈0.12 (13.4 px)
-    # assignable, so the renderer floor now matches the eval suite's
-    # scale_small low end instead of the old 16 px ceiling (0.15).
-    # Floor 0.095 was MEASURED WORSE (DETECTOR.md r5): faces below the
-    # eval range dilute capacity and drag box/landmark regression
-    # quality down across every shift (mean IoU 0.89 -> 0.80).
+    # scale floor 0.12 = the eval suite's scale_small low end. With the
+    # r5 stride-4 P2 level (strides 4,8,16,32), the standard gates
+    # assign sqrt(bw*bh) in [8, 320) px, so a 13.4 px (s=0.12) face has
+    # real inside-window anchors; the nearest-center rescue on the
+    # smallest level (1.25*stride = 5 px) is a guarantee below/beside
+    # the windows, not the binding floor. Lowering the renderer floor
+    # further (0.095, tried under the r5 3-level gates) was MEASURED
+    # WORSE (DETECTOR.md r5): faces below the eval range dilute
+    # capacity and drag box/landmark regression down across every shift
+    # (mean IoU 0.89 -> 0.80).
     # lead_scale_range overrides the lead face's scale band (used by the
     # hard-positive side of train_detector's mining phase to keep
     # small-face recall pressured while mined negatives teach
@@ -231,7 +233,7 @@ def synthetic_batches(
         neg = lambda: render_negative_scene_dr(rng, size)
     else:
         pos = lambda: render_face_scene(rng, size, distractors)
-        neg = lambda: render_negative_scene(rng, size)
+        neg = lambda: render_negative_scene(rng, size, distractors)
     while True:
         scene_list = [
             neg() if rng.uniform() < neg_frac else pos()
@@ -559,15 +561,16 @@ def _level_targets(
 
     rescue_floor (smallest level only): guaranteed nearest-center
     assignment for small faces. The central-half window of a face near
-    the standard gate's floor is narrower than the grid spacing (at
-    stride 8 a 16 px face has a ±4 px window vs 8 px spacing), so the
+    the standard gate's floor is narrower than the grid spacing (a face
+    at 2*stride has a ±stride/2 window vs stride spacing), so the
     inside-test alone can yield ZERO positive anchors — the
     anchor-coverage ceiling docs/DETECTOR.md r4 diagnosed on
     scale_small. Any face with sqrt(bw*bh) in [rescue_floor, stride*10)
     gets the grid point nearest its center as a positive, which both
     (a) guarantees >=1 anchor inside the standard band and (b) extends
-    assignability down to rescue_floor (10 px at stride 8 vs the old
-    16 px floor)."""
+    assignability down to rescue_floor (1.25*stride; 5 px at the
+    production stride-4 P2 level — with the 4-level FPN the rescue is a
+    guarantee, not the binding floor)."""
     h, w = hw
     cy = (jnp.arange(h, dtype=jnp.float32) * stride).reshape(1, h, 1)
     cx = (jnp.arange(w, dtype=jnp.float32) * stride).reshape(1, 1, w)
@@ -621,7 +624,8 @@ def detection_loss(
         pos, d_tgt, k_tgt = _level_targets(
             boxes, lms, (h, w), stride, a,
             # guaranteed nearest-center anchor on the smallest level:
-            # assignable floor 1.25*stride (10 px) instead of 2*stride
+            # assignable floor 1.25*stride instead of 2*stride (5 px at
+            # the production stride-4 P2 level)
             rescue_floor=1.25 * stride if stride == smallest else None,
         )
         logits = score.astype(jnp.float32)

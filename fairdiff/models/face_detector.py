@@ -181,6 +181,14 @@ def decode_detections(
     raw: dict[str, list[jax.Array]], config: DetectorConfig
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """-> (scores [N,K], boxes [N,K,4], kps [N,K,5,2]) over all anchors."""
+    if len(raw["score"]) != len(config.strides):
+        # a 3-level SCRFD raw decoded with the 4-level first-party
+        # default would zip-truncate and pair levels with the WRONG
+        # strides — half-scale boxes with no error
+        raise ValueError(
+            f"{len(raw['score'])} pyramid levels vs strides "
+            f"{config.strides}: decode config does not match the net"
+        )
     all_s, all_b, all_k = [], [], []
     for score, bbox, kps, stride in zip(
         raw["score"], raw["bbox"], raw["kps"], config.strides

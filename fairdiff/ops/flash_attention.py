@@ -484,13 +484,13 @@ def _flash_backward_merged(q, k, v, o, lse, g):
     return unprep(dq, S, q.dtype), unprep(dk, T, k.dtype), unprep(dv, T, v.dtype)
 
 
-def _flash_backward(q, k, v, o, lse, g):
-    """Flash backward: tile-recomputed probabilities, no [S,T] HBM buffer."""
-    if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "merged":
-        return _flash_backward_merged(q, k, v, o, lse, g)
+def _bwd_operands(q, k, v, o, g):
+    """Prepped [B*H, pad, D] operands + the broadcast delta stat for the
+    split backward kernels. Shared by _flash_backward and
+    tools/roofline.py's per-kernel timing, so the ledger always measures
+    the kernels on exactly the operands production produces."""
     B, S, H, D = q.shape
     T = k.shape[1]
-    scale = D**-0.5
     s_pad = -(-S // BLOCK_S) * BLOCK_S
     bt = _block_t(T)
     t_pad = -(-T // bt) * bt
@@ -513,6 +513,17 @@ def _flash_backward(q, k, v, o, lse, g):
     delta = jnp.broadcast_to(
         _pad_to(delta, s_pad, 1)[:, :, None], (B * H, s_pad, LANES)
     )
+    return qp, kp, vp, gp, delta, bt
+
+
+def _flash_backward(q, k, v, o, lse, g):
+    """Flash backward: tile-recomputed probabilities, no [S,T] HBM buffer."""
+    if os.environ.get("FAIRDIFF_FLASH_BWD", "pallas") == "merged":
+        return _flash_backward_merged(q, k, v, o, lse, g)
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    scale = D**-0.5
+    qp, kp, vp, gp, delta, bt = _bwd_operands(q, k, v, o, g)
 
     dq = _dq_pallas(qp, kp, vp, gp, lse, delta, scale=scale, T=T, bt=bt)
     dk, dv = _dkv_pallas(qp, kp, vp, gp, lse, delta, scale=scale, bt=bt)

@@ -139,9 +139,16 @@ def main(cfg: DemoConfig) -> None:
             **common,
         )
         gap_key = "race_gap"
-    else:
+    elif cfg.experiment == "exp1":
         dcfg = DebiasConfig(**common)
         gap_key = "gender_gap_abs"
+    else:
+        # fail loud: a typo must not silently produce an exp1 run
+        # labeled as the asked-for experiment
+        raise SystemExit(
+            f"unknown --experiment {cfg.experiment!r} "
+            "(choose exp1, exp3, exp4, exp6)"
+        )
     trainer = DebiasTrainer(sd, params, synthetic_stack(dcfg.attributes), dcfg)
     logger = MetricsLogger(cfg.output_dir)
     state = trainer.init_state(jax.random.key(1))

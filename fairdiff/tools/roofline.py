@@ -48,13 +48,11 @@ PEAK_TFLOPS = 197.0
 PEAK_GBS = 819.0
 MXU_LANES = 128
 
-# (name, B, S, T, H, D, calls per optimizer step)
-# Call counts: SD-1.5 UNet transformer blocks per resolution (down 2 +
-# up 3 at 64/32/16, mid 1 at 8 -> but 8x8 attention rides the 16x16
-# bucket shape-wise at CFG batch 16; counted separately below), each
-# block = 1 self + 1 cross. Per-step UNet passes: 912 fwd in each of
-# phases 1/3 at CFG batch 16 lanes (57 dispatches), plus 57 pair-VJP
-# chunks (fwd+dq+dkv per layer).
+# (name, B, S, T, H, D) — the four production attention shapes at the
+# CFG-16 dispatch batch. Rows are per-call and deliberately unweighted;
+# step-level totals depend on the phase structure (5 self4096 layers
+# per UNet pass, 57 pair-VJP chunks etc. — see the PERF.md ledger
+# narrative for the weighting).
 ATTN_SHAPES = [
     ("self4096", 16, 4096, 4096, 8, 40),
     ("self1024", 16, 1024, 1024, 8, 80),
@@ -134,33 +132,18 @@ def mode_flash(out_path: str, dtype=jnp.bfloat16, iters=30):
             (q, k, v), iters,
         )
 
-        # prepped operands + stats for the backward kernels
+        # prepped operands + stats for the backward kernels — via the
+        # SAME helper _flash_backward uses, so the ledger measures the
+        # kernels on exactly the operands production produces
         o, lse = jax.jit(
             lambda q, k, v: fa._flash_forward(q, k, v, with_lse=True)
         )(q, k, v)
-        s_pad = -(-S // fa.BLOCK_S) * fa.BLOCK_S
-        bt = fa._block_t(T)
-        t_pad = -(-T // bt) * bt
-
-        @jax.jit
-        def prep_all(q, k, v, g, o):
-            qp = fa._prep(q, s_pad)
-            kp = fa._prep(k, t_pad)
-            vp = fa._prep(v, t_pad)
-            gp = fa._prep(g, s_pad)
-            delta = jnp.einsum(
-                "bshd,bshd->bhs",
-                g.astype(jnp.float32), o.astype(jnp.float32),
-            ).reshape(B * H, S)
-            delta = jnp.broadcast_to(
-                fa._pad_to(delta, s_pad, 1)[:, :, None],
-                (B * H, s_pad, fa.LANES),
-            )
-            return qp, kp, vp, gp, delta
-
         qp, kp, vp, gp, delta = jax.block_until_ready(
-            prep_all(q, k, v, g, o)
+            jax.jit(
+                lambda q, k, v, o, g: fa._bwd_operands(q, k, v, o, g)[:5]
+            )(q, k, v, o, g)
         )
+        bt = fa._block_t(T)  # static python int (jit would trace it)
         scale = D ** -0.5
         t_dq = _time_loop(
             lambda qp, kp, vp, gp, lse, delta: fa._dq_pallas(
@@ -398,10 +381,15 @@ def mode_report(flash_json: str, programs_json: str) -> str:
             f"| {name} program (total) | {dt*1e3:.1f} | — | — | "
             f"{mfu:.0f}% MFU | {bw:.0f} | {100*bw/PEAK_GBS:.0f}% |"
         )
-        lines.append(
-            f"| {name} conv bucket | {conv_t*1e3:.1f} | {conv_tf:.1f} | "
-            f"{conv_tf:.1f} | {100*conv_tf/PEAK_TFLOPS:.0f}% | — | — |"
-        )
+        if conv_t > 0:
+            lines.append(
+                f"| {name} conv bucket | {conv_t*1e3:.1f} | {conv_tf:.1f} | "
+                f"{conv_tf:.1f} | {100*conv_tf/PEAK_TFLOPS:.0f}% | — | — |"
+            )
+        else:
+            # no conv bucket in this trace (bucketing change or convs
+            # folded into fusions) — render a dash, not a div-by-eps
+            lines.append(f"| {name} conv bucket | — | — | — | — | — | — |")
     report = "\n".join(lines)
     print(report)
     return report

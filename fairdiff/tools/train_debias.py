@@ -190,8 +190,14 @@ def init_distributed(cfg: TrainCLIConfig) -> None:
 
 
 def main(cfg: TrainCLIConfig):
-    init_distributed(cfg)
+    # platform override FIRST: init_distributed's post-init prints touch
+    # jax.process_index()/device_count(), which freeze backend
+    # enumeration — running it before apply_platform would silently
+    # ignore --platform/--num_cpu_devices (an off-pod multi-process
+    # smoke would never get its virtual CPU mesh). apply_platform is
+    # pure jax.config updates, safe before distributed init.
     cfglib.apply_platform(cfg.platform, cfg.num_cpu_devices)
+    init_distributed(cfg)
     sd, trainer, dcfg = build_trainer(cfg)
     tokenizer = load_tokenizer(cfg.tokenizer_dir or None)
     if cfg.tiny_smoke or cfg.sd_config == "tiny":

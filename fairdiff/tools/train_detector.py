@@ -89,7 +89,10 @@ def main(cfg: DetTrainConfig):
     from fairdiff.models.face_detector import decode_detections
 
     neg_render = (
-        render_negative_scene_dr if cfg.scenes == "dr" else render_negative_scene
+        render_negative_scene_dr if cfg.scenes == "dr"
+        # base mode: mined candidates must sample the SAME negative
+        # distribution as the training batches (incl. distractor count)
+        else (lambda rng, size: render_negative_scene(rng, size, cfg.distractors))
     )
     mine_rng = np.random.default_rng(cfg.seed + 31337)
 

@@ -241,8 +241,16 @@ def test_load_scrfd_end_to_end(tmp_path):
     x = (x[..., ::-1] * (127.5 / 128.0)).transpose(0, 3, 1, 2)
     outs = fn(p2, {graph.inputs[0]: x})
     raw = scrfd_raw_heads(outs, graph, (32, 32), (8, 16, 32), 2)
+    # SCRFD's 3 levels need the matching 3-stride config — the 4-level
+    # first-party default now raises instead of zip-truncating to the
+    # wrong strides (half-scale boxes)
+    import pytest
+
+    with pytest.raises(ValueError, match="pyramid levels"):
+        decode_detections(raw, DetectorConfig(scores_are_logits=False))
     dec_scores, _, _ = decode_detections(
-        raw, DetectorConfig(scores_are_logits=False)
+        raw,
+        DetectorConfig(strides=(8, 16, 32), scores_are_logits=False),
     )
     graph_scores = np.concatenate(
         [np.asarray(outs[n]).reshape(3, -1) for n in graph.outputs[:3]],
