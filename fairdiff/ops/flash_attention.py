@@ -262,6 +262,8 @@ def _bwd_dq_kernel(
         )
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_t
         s = jnp.where(col < t_valid, s, -jnp.inf)
+        # (moving the independent dp dot ahead of this exp measured
+        # exactly neutral at self4096 — 10.494 vs 10.50 ms, r5)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
