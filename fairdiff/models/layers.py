@@ -61,7 +61,18 @@ class FusedGroupNorm(nn.Module):
 
 # minimum key length for the flash kernel (module-level so tests can
 # force the flash path at tiny shapes)
-FLASH_MIN_KV = 256
+# 512 since r5: the roofline ledger showed the 256-token self-attention
+# running the Pallas path at 2-4% of roof (pure per-call overhead), and
+# the full-step A/B measured routing it to the rematerialized XLA path
+# at 37.33 vs 37.92 chip*s (PERF.md r5). 1024-token KV stays flash
+# (flash 0.98 vs XLA 1.46 ms, r2). FAIRDIFF_FLASH_MIN_KV overrides.
+FLASH_MIN_KV = 512
+
+
+def _flash_min_kv() -> int:
+    import os
+
+    return int(os.environ.get("FAIRDIFF_FLASH_MIN_KV", "0")) or FLASH_MIN_KV
 
 
 def dot_product_attention(
@@ -77,7 +88,7 @@ def dot_product_attention(
     # flash only where it wins: long-key self-attention (the 1024/4096-token
     # UNet latents). Short keys (77-token cross-attn, 257-token CLIP) pad to
     # the 512-lane tile and lose to the fused XLA softmax path.
-    if use_flash and bias is None and k.shape[1] >= FLASH_MIN_KV:
+    if use_flash and bias is None and k.shape[1] >= _flash_min_kv():
         from fairdiff.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
